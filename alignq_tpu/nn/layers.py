@@ -1,0 +1,265 @@
+"""Quantized flax modules: QConv, QDense, QuantAct.
+
+Reference factories: conv2d_Q_fn / linear_Q_fn / activation_quantize_fn in
+/root/reference/cdf_alignment/resnet-20-cifar-10/model/quantization.py:81-122
+and the ADMM twins in
+/root/reference/cdf_alignment_admm/resnet-20-cifar-10/model/quantization.py:88-156.
+
+TPU-first design notes:
+- Data layout is NHWC / HWIO (XLA-native for TPU convs); the reference's
+  NCHW/OIHW is a CUDA convention, not ported.
+- Weight fake-quant runs in f32 on the VPU and fuses into the conv's operand
+  producer; the conv itself hits the MXU. For low-bit QAT the fake-quantized
+  operands are exactly representable in bf16 when the grid is coarse, and the
+  `mxu_dtype` knob casts conv operands to bf16 for full MXU rate.
+- ADMM correlation matrices are sowed into the 'admm_d' collection instead of
+  being read off live module attributes (replaces main.py:295-309 harvesting).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from alignq_tpu.admm.correlation import corr_discrepancy
+from alignq_tpu.quant import baselines
+from alignq_tpu.quant.fake_quant import act_cdf, quantize_act, quantize_weight
+
+# torch nn.Conv2d / nn.Linear default init: kaiming_uniform(a=sqrt(5)) ==
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform).
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def BatchNorm(use_running_average: bool, name: str | None = None) -> nn.BatchNorm:
+    """torch BatchNorm2d defaults: eps 1e-5, momentum 0.1 (flax: 0.9)."""
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=0.9,
+        epsilon=1e-5,
+        name=name,
+    )
+
+
+class QConv(nn.Module):
+    """Quantized 2-D convolution (reference Conv2d_Q, quantization.py:107-122).
+
+    method selects the weight quantizer family:
+      'ours'    — AlignQ CDF alignment (variant a/b)
+      'uniform' | 'dorefa' | 'bwn' | 'bwnf' — parameter-free baselines
+      'lsq'     — learned step size (weight AND activation quant inside conv,
+                  reference quantization_lsq.py:66-89)
+      'apot'    — additive powers-of-two with learnable clips (weight + act,
+                  reference quantization_apot.py:168-191)
+      'llsq'    — layerwise learned scale, per-out-channel alpha
+                  (reference quantization_llsq.py:78-129)
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = 0
+    feature_group_count: int = 1
+    use_bias: bool = False
+    w_bit: int = 8
+    a_bit: int = 8  # only used by lsq/apot in-conv activation quant
+    method: str = "ours"
+    variant: str = "b"
+    mxu_dtype: Any = None  # e.g. jnp.bfloat16 to force bf16 MXU operands
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        in_features = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel", torch_conv_init, (kh, kw, in_features, self.features)
+        )
+
+        if self.method == "ours":
+            wq = quantize_weight(kernel, self.w_bit, variant=self.variant).wq
+        elif self.method == "uniform":
+            wq = baselines.uniform_weight(kernel, self.w_bit)
+        elif self.method == "uniform_admm":
+            # C24 ablation weights: raw uniform_q(w), no 1-bit rescale
+            # (quantization_uniform_admm.py:71-85).
+            from alignq_tpu.quant.ste import uniform_quantize as _uq
+
+            wq = _uq(kernel, self.w_bit)
+        elif self.method == "dorefa":
+            wq = baselines.dorefa_weight(kernel, self.w_bit)
+        elif self.method == "bwn":
+            wq = baselines.bwn_weight(kernel, self.w_bit)
+        elif self.method == "bwnf":
+            wq = baselines.bwnf_weight(kernel, self.w_bit)
+        elif self.method == "lsq":
+            if self.w_bit < 32:
+                s_w = self.param(
+                    "lsq_step_w",
+                    lambda key: baselines.lsq_init_step(
+                        kernel, self.w_bit, is_activation=False
+                    ),
+                )
+                wq = baselines.lsq_quantize(kernel, s_w, self.w_bit, is_activation=False)
+            else:
+                wq = kernel
+            if self.a_bit < 32:
+                s_a = self.param("lsq_step_a", nn.initializers.ones, ())
+                x = baselines.lsq_quantize(x, s_a, self.a_bit, is_activation=True)
+        elif self.method == "apot":
+            if self.w_bit < 32:
+                wgt_alpha = self.param(
+                    "wgt_alpha", nn.initializers.constant(3.0), ()
+                )
+                wq = baselines.apot_weight(kernel, wgt_alpha, self.w_bit)
+            else:
+                wq = kernel
+            if self.a_bit < 32:
+                act_alpha = self.param("act_alpha", nn.initializers.constant(8.0), ())
+                b = self.w_bit - 1
+                x = baselines.apot_act_quant(x, act_alpha, b, self.w_bit > 2)
+        elif self.method == "llsq":
+            if self.w_bit < 32:
+                alpha_w = self.param(
+                    "alpha_w",
+                    nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+                    (1, 1, 1, self.features),
+                )
+                wq = baselines.llsq_weight_quant(kernel, alpha_w, self.w_bit, True)
+            else:
+                wq = kernel
+        elif self.method == "fp":
+            wq = kernel
+        else:
+            raise ValueError(f"unknown quant method {self.method!r}")
+
+        if isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = self.padding
+
+        lhs, rhs = x, wq
+        if self.mxu_dtype is not None:
+            lhs = lhs.astype(self.mxu_dtype)
+            rhs = rhs.astype(self.mxu_dtype)
+        y = jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=tuple(self.strides),
+            padding=pad,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(kh * kw * in_features), (self.features,)
+            )
+            y = y + bias
+        return y
+
+
+class QDense(nn.Module):
+    """Quantized linear layer (reference linear_Q_fn,
+    cdf_alignment/dann_office/model/resnet.py:148-160, commented there but
+    part of the API surface; FP heads use method='fp')."""
+
+    features: int
+    use_bias: bool = True
+    w_bit: int = 32
+    method: str = "fp"
+    variant: str = "b"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_init, (in_features, self.features))
+        if self.method == "ours" and self.w_bit < 32:
+            wq = quantize_weight(kernel, self.w_bit, variant=self.variant).wq
+        else:
+            wq = kernel
+        y = jnp.dot(x, wq, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", _torch_bias_init(in_features), (self.features,))
+            y = y + bias
+        return y
+
+
+class QuantAct(nn.Module):
+    """Standalone activation fake-quantizer, optionally with the ADMM
+    correlation-discrepancy side-output.
+
+    Reference: activation_quantize_fn (quantization.py:81-103) and the ADMM
+    variant (admm quantization.py:88-132). When `admm` and `compute_corr` are
+    both set, the B x B discrepancy D is sowed into the 'admm_d' collection
+    under this module's path; the train step computes the trans-loss from it
+    (train/steps.py) so eval stays pure (SURVEY.md hard part 6).
+
+    method semantics:
+      'ours'              — CDF alignment
+      'uniform'/'dorefa'  — clamp [0,1] + uniform grid
+      'llsq'              — learned-scale rounding with octave-search backward
+      'fp'                — identity
+    """
+
+    a_bit: int = 8
+    act_range: float = 2.0
+    method: str = "ours"
+    variant: str = "b"
+    admm: bool = False
+    corr_eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, compute_corr: bool = False) -> jax.Array:
+        if self.a_bit == 32 and not (self.admm and compute_corr):
+            return x
+        if self.method == "ours":
+            if self.admm and compute_corr and self.a_bit < 32:
+                b = x.shape[0]
+                x_feat = x.reshape(b, -1)
+                c = act_cdf(x, act_range=self.act_range, variant=self.variant)
+                d = corr_discrepancy(x_feat, c.reshape(b, -1), eps=self.corr_eps)
+                self.sow("admm_d", "d", d)
+            return quantize_act(
+                x, self.a_bit, act_range=self.act_range, variant=self.variant
+            )
+        if self.method in ("uniform", "dorefa"):
+            return baselines.uniform_act(x, self.a_bit)
+        if self.method == "uniform_admm":
+            # Ablation C24 (quantization_uniform_admm.py:88-132): identity
+            # "trans" (activation_cdf = x, so D == 0 numerically but the ADMM
+            # regularizer terms still contribute) and *unclamped* uniform
+            # rounding (uniform_q(x) directly, :110).
+            from alignq_tpu.quant.ste import uniform_quantize
+
+            if self.admm and compute_corr and self.a_bit < 32:
+                b = x.shape[0]
+                x_feat = x.reshape(b, -1)
+                d = corr_discrepancy(x_feat, x_feat, eps=self.corr_eps)
+                self.sow("admm_d", "d", d)
+            return uniform_quantize(x, self.a_bit)
+        if self.method == "llsq":
+            if self.a_bit == 32:
+                return x
+            alpha = self.param(
+                "alpha", nn.initializers.uniform(scale=1.0), ()
+            )
+            from alignq_tpu.quant.baselines import quan_alpha
+
+            return baselines.llsq_act_quant(
+                x, quan_alpha(alpha, 32), self.a_bit, False
+            )
+        if self.method == "fp":
+            return x
+        raise ValueError(f"unknown act quant method {self.method!r}")

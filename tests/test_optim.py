@@ -1,0 +1,122 @@
+"""PDF-corrected optimizer chain vs a numpy re-derivation of the reference
+update rule (utils/optimizer.py:196-262, intended semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats as sps
+
+from alignq_tpu.optim import (
+    alignq_sgd,
+    build_correction_mask,
+    correction_factor,
+    multistep_schedule,
+)
+
+
+def np_correction(w, w_bit, lam, lam2):
+    m, s = w.mean(), w.std(ddof=1)
+    c = 2 * sps.norm(m, s).cdf(w) - 1
+    pdf = 2 * sps.norm(m, s).pdf(w)
+    t = np.mod((c + 0.5) * (2**w_bit - 1), 1.0) * lam2 * 2
+    sig = 1 / (1 + np.exp(-t))
+    return sig * (1 - sig) * lam * pdf
+
+
+class TestCorrectionFactor:
+    def test_matches_numpy(self):
+        w = np.random.RandomState(0).randn(256).astype(np.float32)
+        got = correction_factor(jnp.asarray(w), 8, lam=1.0, lam2=4.0)
+        # f32 mod near bin boundaries amplifies rounding; 2e-5 abs is tight
+        # enough to catch a formula error while tolerating float noise.
+        np.testing.assert_allclose(got, np_correction(w, 8, 1.0, 4.0), atol=2e-5)
+
+    def test_positive_and_bounded(self):
+        w = np.random.RandomState(1).randn(64).astype(np.float32)
+        f = np.asarray(correction_factor(jnp.asarray(w), 4, 1.0, 4.0))
+        assert (f > 0).all()
+        # sigma'(x) <= 1/4, pdf2 <= 2/(s*sqrt(2pi))
+        assert f.max() < 2.0 / (w.std(ddof=1) * np.sqrt(2 * np.pi)) * 0.25 + 1e-5
+
+
+class TestAlignQSGD:
+    def test_single_step_matches_manual(self):
+        rng = np.random.RandomState(2)
+        w0 = rng.randn(3, 3, 4, 8).astype(np.float32)
+        g = rng.randn(3, 3, 4, 8).astype(np.float32)
+        lr, mom, wd, lam, lam2, w_bit = 0.04, 0.9, 1e-4, 1.0, 4.0, 8
+
+        params = {"conv1": {"kernel": jnp.asarray(w0)}}
+        grads = {"conv1": {"kernel": jnp.asarray(g)}}
+        tx = alignq_sgd(
+            lr, momentum=mom, weight_decay=wd, w_bit=w_bit, lam=lam, lam2=lam2,
+            correction_mask={"conv1": {"kernel": True}},
+        )
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        new = np.asarray(params["conv1"]["kernel"] + updates["conv1"]["kernel"])
+
+        # manual reference: d = g + wd*w; buf = d (first step); corrected
+        d = g + wd * w0
+        corr = np_correction(w0, w_bit, lam, lam2)
+        want = w0 - lr * d * corr
+        np.testing.assert_allclose(new, want, atol=1e-5)
+
+    def test_two_steps_momentum(self):
+        rng = np.random.RandomState(3)
+        w0 = rng.randn(16).astype(np.float32)
+        g1 = rng.randn(16).astype(np.float32)
+        g2 = rng.randn(16).astype(np.float32)
+        lr, mom = 0.1, 0.9
+
+        params = {"w": jnp.asarray(w0)}
+        tx = alignq_sgd(lr, momentum=mom, weight_decay=0.0, w_bit=32)
+        state = tx.init(params)
+        u1, state = tx.update({"w": jnp.asarray(g1)}, state, params)
+        params = {"w": params["w"] + u1["w"]}
+        u2, state = tx.update({"w": jnp.asarray(g2)}, state, params)
+        params = {"w": params["w"] + u2["w"]}
+
+        buf = g1.copy()
+        w = w0 - lr * buf
+        buf = mom * buf + g2
+        w = w - lr * buf
+        np.testing.assert_allclose(params["w"], w, atol=1e-6)
+
+    def test_uncorrected_leaves_get_plain_sgd(self):
+        params = {"conv": jnp.ones((3, 3, 2, 2)), "head": jnp.ones((4,))}
+        grads = {"conv": jnp.ones((3, 3, 2, 2)), "head": jnp.ones((4,))}
+        mask = {"conv": True, "head": False}
+        tx = alignq_sgd(
+            1.0, momentum=0.0, weight_decay=0.0, w_bit=8, correction_mask=mask
+        )
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_allclose(updates["head"], -np.ones((4,)), atol=1e-6)
+        assert not np.allclose(updates["conv"], -np.ones((3, 3, 2, 2)))
+
+
+class TestCorrectionMask:
+    def test_conv_kernels_selected_head_excluded(self):
+        params = {
+            "conv0": {"kernel": jnp.zeros((3, 3, 3, 16))},
+            "layers_0": {
+                "conv0": {"kernel": jnp.zeros((3, 3, 16, 16))},
+                "bn0": {"scale": jnp.zeros((16,))},
+            },
+            "logit": {"kernel": jnp.zeros((64, 10)), "bias": jnp.zeros((10,))},
+        }
+        mask = build_correction_mask(params, exclude=("conv0",))
+        assert mask["conv0"]["kernel"] is False  # stem excluded (main.py:300)
+        assert mask["layers_0"]["conv0"]["kernel"] is True
+        assert mask["layers_0"]["bn0"]["scale"] is False
+        assert mask["logit"]["kernel"] is False  # 2-D head kernel
+
+
+class TestSchedules:
+    def test_multistep(self):
+        sched = multistep_schedule(0.04, [80, 120], 0.1, steps_per_epoch=10)
+        assert np.isclose(sched(0), 0.04)
+        assert np.isclose(sched(799), 0.04)
+        assert np.isclose(sched(800), 0.004)
+        assert np.isclose(sched(1200), 0.0004)
