@@ -1,0 +1,76 @@
+"""Pallas kernel: fused CDF-alignment quantization to int8.
+
+Computes, in one VMEM pass (no HBM round-trips between the stages):
+    c   = 2 * Phi_{0,1}(x) - 1        # erf on the VPU
+    q   = round(c * 127)  in int8     # symmetric int8 grid
+
+This is the activation-side half of the north-star fused path. The int grid
+here is the INT-inference canonicalization of the reference's fake-quant
+grid (SURVEY.md section 2.4.6): rounding the uniform variable on a 2^k-level
+symmetric grid with the act_range scale folded into the dequant scale.
+Reference transform: cdf_alignment_admm/.../quantization.py:49-59.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def interpret_mode() -> bool:
+    """Pallas TPU kernels run in interpret mode on the CPU backend (tests)."""
+    return jax.default_backend() == "cpu"
+
+
+def _cdf_quant_kernel(x_ref, out_ref):
+    x = x_ref[:]
+    c = jax.lax.erf(x / _SQRT2)  # == 2*Phi(x) - 1
+    q = jnp.clip(jnp.round(c * 127.0), -127.0, 127.0)
+    out_ref[:] = q.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def cdf_quantize_int8(x: jax.Array, block_rows: int = 512) -> jax.Array:
+    """Fused Phi-transform + int8 rounding. x: (..., F) float32 -> int8.
+
+    Grid-tiled over leading rows so arbitrarily large activations stream
+    through VMEM. The dequant scale is the static 1/127 (times act_range at
+    the consumer).
+    """
+    orig_shape = x.shape
+    f = orig_shape[-1]
+    rows = math.prod(orig_shape[:-1]) if len(orig_shape) > 1 else 1
+    x2 = x.reshape(rows, f)
+    rb = min(block_rows, rows)
+    # pad rows to a multiple of the block
+    pad = (-rows) % rb
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    n_blocks = x2.shape[0] // rb
+
+    out = pl.pallas_call(
+        _cdf_quant_kernel,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.int8),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((rb, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((rb, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
+    )(x2)
+    if pad:
+        out = out[:rows]
+    return out.reshape(orig_shape)
+
+
+def cdf_quantize_int8_reference(x: jax.Array) -> jax.Array:
+    """Pure-jnp reference for testing the kernel."""
+    c = jax.lax.erf(x / _SQRT2)
+    return jnp.clip(jnp.round(c * 127.0), -127.0, 127.0).astype(jnp.int8)

@@ -1,0 +1,42 @@
+"""Model registry: config -> flax module.
+
+Replaces the reference's import_module arch dispatch
+(/root/reference/cdf_alignment/resnet-20-cifar-10/main.py:50-59)."""
+
+from __future__ import annotations
+
+from alignq_tpu.train.config import TrainConfig
+
+
+def build_model(cfg: TrainConfig):
+    from alignq_tpu import models
+
+    name = cfg.target_model
+    builders = {
+        "resnet20_quant": models.resnet20_quant,
+        "resnet56_quant": models.resnet56_quant,
+    }
+    # registered lazily as families land
+    try:
+        from alignq_tpu.models import densenet as _dense
+
+        builders["densenet_40_quant"] = _dense.densenet_40_quant
+    except ImportError:
+        pass
+    try:
+        from alignq_tpu.models import mobilenetv2 as _mb
+
+        builders["mobile_v2"] = _mb.mobile_v2
+    except ImportError:
+        pass
+    if name not in builders:
+        raise ValueError(f"unknown target_model {name!r}; have {sorted(builders)}")
+    return builders[name](
+        bitW=cfg.bitW,
+        abitW=cfg.abitW,
+        method=cfg.method,
+        admm=cfg.admm,
+        variant=cfg.variant,
+        act_range=cfg.act_range,
+        num_classes=cfg.num_classes,
+    )

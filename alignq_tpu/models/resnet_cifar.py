@@ -1,0 +1,236 @@
+"""PreAct ResNet-20/56 for CIFAR, quantized, with all three method-family
+topologies and the optional ADMM correlation sites.
+
+Reference models:
+- 'ours' ordering (conv -> bn -> act_q -> relu), plain:
+  /root/reference/cdf_alignment/resnet-20-cifar-10/model/resnet.py:33-138
+- 'ours' + ADMM (canonical):
+  /root/reference/cdf_alignment_admm/resnet-56-cifar-10/model/resnet.py:36-167
+- 'after' ordering (conv -> bn -> relu -> act_q), for uniform/dorefa/llsq:
+  /root/reference/cdf_alignment_admm/resnet-20-cifar-10/model/resnet_after.py:33-131
+- 'none' ordering (act quant inside conv), for apot/lsq:
+  /root/reference/cdf_alignment_admm/resnet-20-cifar-10/model/resnet_none.py:24-109
+- 'ours' topology + uniform quant + ADMM (ablation):
+  /root/reference/cdf_alignment_admm/resnet-20-cifar-10/model/resnet_ours_uniform_admm.py
+
+Design notes (TPU-first):
+- NHWC activations; convs map straight onto XLA TPU convolutions (MXU).
+- ADMM D matrices are sowed into the 'admm_d' collection; trans-loss is
+  assembled in the train step from the duals in the train state, keeping
+  eval pure (reference computes it inline and threads a running scalar,
+  resnet.py:78-98).
+- `block_bits` supports per-block mixed precision (resnet.py:124-134).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from alignq_tpu.nn.layers import BatchNorm, QConv, QDense, QuantAct
+
+# method -> topology family (reference main.py:50-58 arch dispatch)
+ORDERING = {
+    "ours": "ours",
+    "uniform_admm": "ours",  # resnet_ours_uniform_admm.py keeps 'ours' topology
+    "uniform": "after",
+    "dorefa": "after",
+    "llsq": "after",
+    "bwn": "after",
+    "bwnf": "after",
+    "apot": "none",
+    "lsq": "none",
+    "fp": "none",
+}
+
+
+class PreActBlock(nn.Module):
+    """PreActBlock_conv_Q in all three orderings."""
+
+    out_planes: int
+    stride: int = 1
+    w_bit: int = 8
+    a_bit: int = 8
+    method: str = "ours"
+    variant: str = "b"
+    act_range: float = 2.0
+    admm: bool = False
+    mxu_dtype: jnp.dtype | None = None
+
+    def _conv(self, features, kernel_size, stride, padding, name):
+        return QConv(
+            features=features,
+            kernel_size=kernel_size,
+            strides=(stride, stride),
+            padding=padding,
+            use_bias=False,
+            w_bit=self.w_bit,
+            a_bit=self.a_bit,
+            method=self.method,
+            variant=self.variant,
+            mxu_dtype=self.mxu_dtype,
+            name=name,
+        )
+
+    def _act(self, name):
+        return QuantAct(
+            a_bit=self.a_bit,
+            act_range=self.act_range,
+            method=self.method,
+            variant=self.variant,
+            admm=self.admm,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, compute_corr: bool = False):
+        ordering = ORDERING[self.method]
+        ura = not train
+
+        conv0 = self._conv(self.out_planes, (3, 3), self.stride, 1, "conv0")
+        conv1 = self._conv(self.out_planes, (3, 3), 1, 1, "conv1")
+
+        if self.stride != 1:
+            skip = self._conv(self.out_planes, (1, 1), self.stride, 0, "skip_conv")
+            shortcut = skip(x)
+            shortcut = BatchNorm(ura, name="skip_bn")(shortcut)
+            if ordering in ("ours", "after"):
+                shortcut = self._act("act_skip_q")(shortcut, compute_corr)
+        else:
+            shortcut = x
+
+        out = conv0(x)
+        out = BatchNorm(ura, name="bn0")(out)
+        if ordering == "ours":
+            # conv -> bn -> act_q -> relu (resnet.py:87-90)
+            out = self._act("act_q0")(out, compute_corr)
+            out = jax.nn.relu(out)
+        elif ordering == "after":
+            # conv -> bn -> relu -> act_q (resnet_after.py:71-73)
+            out = self._act("act_q0")(jax.nn.relu(out))
+        else:  # 'none': act quant lives inside the conv (resnet_none.py:54-56)
+            out = jax.nn.relu(out)
+
+        out = conv1(out)
+        out = BatchNorm(ura, name="bn1")(out)
+        if ordering == "ours":
+            out = self._act("act_q1")(out, compute_corr)
+            out = out + shortcut
+            out = jax.nn.relu(out)
+        elif ordering == "after":
+            out = out + shortcut
+            out = self._act("act_q1")(jax.nn.relu(out))
+        else:
+            out = out + shortcut
+            out = jax.nn.relu(out)
+        return out
+
+
+class PreActResNet(nn.Module):
+    """PreActResNet (reference resnet.py:101-160)."""
+
+    num_units: Sequence[int] = (3, 3, 3)
+    num_classes: int = 10
+    w_bit: int = 8
+    a_bit: int = 8
+    method: str = "ours"
+    variant: str = "b"
+    act_range: float = 2.0
+    admm: bool = False
+    block_bits: Sequence[int] | None = None
+    mxu_dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, compute_corr: bool = False):
+        ordering = ORDERING[self.method]
+        ura = not train
+
+        out = QConv(
+            features=16,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding=1,
+            use_bias=False,
+            w_bit=self.w_bit,
+            a_bit=self.a_bit,
+            method=self.method,
+            variant=self.variant,
+            mxu_dtype=self.mxu_dtype,
+            name="conv0",
+        )(x)
+        out = BatchNorm(ura, name="bn")(out)
+        if ordering == "ours":
+            # conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
+            out = QuantAct(
+                a_bit=self.a_bit,
+                act_range=self.act_range,
+                method=self.method,
+                variant=self.variant,
+                admm=self.admm,
+                name="act_q0",
+            )(out, compute_corr)
+            out = jax.nn.relu(out)
+        elif ordering == "after":
+            # conv0 -> bn -> relu -> act_q0 (resnet_after.py:119-123)
+            out = jax.nn.relu(out)
+            out = QuantAct(
+                a_bit=self.a_bit,
+                act_range=self.act_range,
+                method=self.method,
+                variant=self.variant,
+                name="act_q0",
+            )(out)
+        else:
+            out = jax.nn.relu(out)
+
+        strides = (
+            [1] * self.num_units[0]
+            + [2]
+            + [1] * (self.num_units[1] - 1)
+            + [2]
+            + [1] * (self.num_units[2] - 1)
+        )
+        channels = (
+            [16] * self.num_units[0]
+            + [32] * self.num_units[1]
+            + [64] * self.num_units[2]
+        )
+        for i, (stride, channel) in enumerate(zip(strides, channels)):
+            w_bit = self.w_bit if self.block_bits is None else self.block_bits[i]
+            out = PreActBlock(
+                out_planes=channel,
+                stride=stride,
+                w_bit=w_bit,
+                a_bit=self.a_bit,
+                method=self.method,
+                variant=self.variant,
+                act_range=self.act_range,
+                admm=self.admm,
+                mxu_dtype=self.mxu_dtype,
+                name=f"layers_{i}",
+            )(out, train, compute_corr)
+
+        out = jnp.mean(out, axis=(1, 2))  # AdaptiveAvgPool2d(1) + flatten
+        out = QDense(features=self.num_classes, name="logit")(out)
+        return out
+
+
+def resnet20_quant(
+    bitW: int = 8, abitW: int = 8, method: str = "ours", admm: bool = False, **kw
+) -> PreActResNet:
+    """reference resnet.py:163-164."""
+    return PreActResNet(
+        num_units=(3, 3, 3), w_bit=bitW, a_bit=abitW, method=method, admm=admm, **kw
+    )
+
+
+def resnet56_quant(
+    bitW: int = 8, abitW: int = 8, method: str = "ours", admm: bool = False, **kw
+) -> PreActResNet:
+    """reference resnet.py:166-167."""
+    return PreActResNet(
+        num_units=(9, 9, 9), w_bit=bitW, a_bit=abitW, method=method, admm=admm, **kw
+    )

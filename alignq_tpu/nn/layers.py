@@ -236,6 +236,12 @@ class QuantAct(nn.Module):
             )
         if self.method in ("uniform", "dorefa"):
             return baselines.uniform_act(x, self.a_bit)
+        if self.method in ("bwn", "bwnf"):
+            # quantization_bwn.py:62-65: the alpha-scaled line is immediately
+            # overwritten — net effect is plain unclamped uniform_q(x).
+            from alignq_tpu.quant.ste import uniform_quantize
+
+            return uniform_quantize(x, self.a_bit)
         if self.method == "uniform_admm":
             # Ablation C24 (quantization_uniform_admm.py:88-132): identity
             # "trans" (activation_cdf = x, so D == 0 numerically but the ADMM

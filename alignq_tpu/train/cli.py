@@ -1,0 +1,70 @@
+"""Command-line training entry point.
+
+Reference: `python3 main.py --method ours --bitW 8 ...`
+(/root/reference/README.md:24-31); flag names kept compatible where they
+exist (utils/options.py:31-90), parsed into the typed TrainConfig.
+
+Usage:
+    python -m alignq_tpu.train.cli --target_model resnet20_quant \
+        --method ours --bitW 8 --abitW 8 --lr 0.04 --train_batch_size 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from alignq_tpu.data.registry import get_data
+from alignq_tpu.train.config import TrainConfig
+from alignq_tpu.train.loop import fit
+
+
+def parse_args(argv=None) -> TrainConfig:
+    p = argparse.ArgumentParser(description="AlignQ-TPU trainer")
+    defaults = TrainConfig()
+    p.add_argument("--target_model", default=defaults.target_model)
+    p.add_argument("--method", default=defaults.method)
+    p.add_argument("--bitW", type=int, default=defaults.bitW)
+    p.add_argument("--abitW", type=int, default=defaults.abitW)
+    p.add_argument("--act_range", type=float, default=defaults.act_range)
+    p.add_argument("--lr", type=float, default=defaults.lr)
+    p.add_argument("--momentum", type=float, default=defaults.momentum)
+    p.add_argument("--weight_decay", type=float, default=defaults.weight_decay)
+    p.add_argument("--num_epochs", type=int, default=defaults.num_epochs)
+    p.add_argument("--train_batch_size", type=int, default=defaults.train_batch_size)
+    p.add_argument("--eval_batch_size", type=int, default=defaults.eval_batch_size)
+    # note: the reference's --lr_decay_steps used type=list and could not
+    # parse its own README command (options.py:74, SURVEY.md section 2.4.5);
+    # here it is a proper int list.
+    p.add_argument("--lr_decay_steps", type=int, nargs="+", default=list(defaults.lr_decay_steps))
+    p.add_argument("--lr_gamma", type=float, default=defaults.lr_gamma)
+    p.add_argument("--lam", type=float, default=defaults.lam)
+    p.add_argument("--lam2", type=float, default=defaults.lam2)
+    p.add_argument("--admm", action="store_true")
+    p.add_argument("--dataset", default=defaults.dataset)
+    p.add_argument("--data_dir", default=defaults.data_dir)
+    p.add_argument("--job_dir", default=defaults.job_dir)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--print_freq", type=int, default=defaults.print_freq)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None, help="early stop for smoke runs")
+    a = p.parse_args(argv)
+    field_names = {f.name for f in dataclasses.fields(TrainConfig)}
+    cfg = TrainConfig(
+        **{k: v for k, v in vars(a).items() if k in field_names},
+    )
+    return cfg, a.resume, a.max_steps
+
+
+def main(argv=None):
+    cfg, resume, max_steps = parse_args(argv)
+    data = get_data(
+        cfg.dataset, cfg.data_dir, cfg.train_batch_size, cfg.eval_batch_size, cfg.seed
+    )
+    result = fit(cfg, data, resume=resume, max_steps=max_steps)
+    print(f"best_top1={result['best_top1']:.3f} best_top5={result['best_top5']:.3f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Typed training configuration.
+
+Replaces the reference's per-project argparse singletons
+(/root/reference/cdf_alignment/resnet-20-cifar-10/utils/options.py:31-90 and
+the DA variants) — the `args` module-global imported deep inside model code
+(quantization.py:10) is an anti-pattern we deliberately do not port
+(SURVEY.md section 5 config entry). Defaults mirror options.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # model (options.py:31-53)
+    target_model: str = "resnet20_quant"
+    method: str = "ours"  # ours | uniform | dorefa | lsq | apot | llsq | bwn | bwnf | uniform_admm | fp
+    bitW: int = 8
+    abitW: int = 8
+    act_range: float = 2.0
+    variant: str = "b"
+    num_classes: int = 10
+
+    # optimization (options.py:54-89)
+    lr: float = 0.04
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    num_epochs: int = 200
+    train_batch_size: int = 128
+    eval_batch_size: int = 100
+    lr_decay_steps: Sequence[int] = (80, 120)
+    lr_gamma: float = 0.1
+    lam: float = 1.0
+    lam2: float = 4.0
+
+    # AlignQ specifics
+    admm: bool = False
+    admm_mu: float = 0.2
+    admm_rho: float = 0.3
+    # which conv kernels get the PDF-corrected gradient; the stem is excluded
+    # for ResNet (main.py:300 idx[1:]) but included for DenseNet/MobileNet
+    correction_exclude: Sequence[str] = ("conv0",)
+    # cross-device corr mode: 'local' (per-shard block-diag, default) or
+    # 'gather' (exact global-batch matrix via all_gather) — SURVEY.md section 5
+    corr_mode: str = "local"
+
+    # data
+    dataset: str = "cifar10"
+    data_dir: str = "/root/data"
+    num_workers: int = 2
+
+    # run control (options.py:40-53)
+    job_dir: str = "/tmp/alignq_job"
+    seed: int = 0
+    print_freq: int = 100
+    eval_freq_epochs: int = 1
+
+    # TPU execution
+    mxu_bf16: bool = False  # cast conv operands to bf16 for full MXU rate
+    mesh_shape: Sequence[int] = (1,)
+    mesh_axes: Sequence[str] = ("data",)
+
+    def model_kwargs(self) -> dict:
+        return dict(
+            w_bit=self.bitW,
+            a_bit=self.abitW,
+            method=self.method,
+            variant=self.variant,
+            act_range=self.act_range,
+            admm=self.admm,
+            num_classes=self.num_classes,
+        )

@@ -1,0 +1,320 @@
+"""Domain-adaptation training: DANN, DSAN, digit-DANN.
+
+Reference drivers (SURVEY.md section 3.4):
+- DANN: /root/reference/cdf_alignment_admm/dann_office/main.py:296-460 —
+  GRL ramp alpha(p) = 2/(1+e^{-10p}+1e-6)-1 (:351-352), loss = src class CE +
+  src domain CE + tgt domain CE (+ trans losses) (:384), per-epoch DANN LR
+  lr/(1+10p)^0.75 with heads at 10x feature LR (:320-338).
+- DSAN: /root/reference/cdf_alignment/dsan_office/main.py:395-400 —
+  loss = cls CE + param * lambda(p) * LMMD, lambda = 2/(1+e^{-10 ep/E})-1.
+- digit: /root/reference/cdf_alignment/dann_digit/main.py — plain torch SGD
+  (no PDF correction, :108), per-iteration LR schedule (:334-338).
+
+All steps are single jitted programs; alpha/lambda ramps enter as traced
+scalars so there is no per-epoch recompilation (the reference rebuilds its
+optimizer every epoch, main.py:325-338 — the schedule here is the continuous
+per-step equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from alignq_tpu.admm.lmmd import lmmd
+from alignq_tpu.admm.loss import ADMMConfig, admm_loss
+from alignq_tpu.admm.state import dual_update
+from alignq_tpu.optim.correction import build_correction_mask, scale_by_alignq_correction
+from alignq_tpu.train.config import TrainConfig
+from alignq_tpu.train.state import TrainState, flatten_site_names
+from alignq_tpu.train.steps import cross_entropy_loss
+from alignq_tpu.utils.logging_utils import get_logger
+from alignq_tpu.utils.meters import AverageMeter
+
+
+@dataclasses.dataclass(frozen=True)
+class DAConfig(TrainConfig):
+    """DA flags (reference utils/options_office.py:30-101, digit options)."""
+
+    src_data: str = "dslr"
+    tgt_data: str = "webcam"
+    train_split: float = 0.8
+    src_only_flag: bool = False
+    alpha: float = 10.0  # GRL / LR ramp coefficient
+    param: float = 0.3  # DSAN LMMD weight (dsan options_office.py:64)
+    bottle_neck: bool = True
+    img_size: int = 28  # digit models
+    num_classes: int = 31
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    head_lr_mult: float = 10.0
+
+
+def grl_alpha(p) -> jax.Array:
+    """alpha(p) = 2/(1+e^{-10p}+1e-6) - 1 (dann_office/main.py:351-352)."""
+    return 2.0 / (1.0 + jnp.exp(-10.0 * p) + 1e-6) - 1.0
+
+
+def dann_lr(base_lr: float, p, alpha: float = 10.0, beta: float = 0.75):
+    """lr(p) = base/(1+alpha*p)^beta (dann_office/main.py:320)."""
+    return base_lr / (1.0 + alpha * p) ** beta
+
+
+def make_da_optimizer(cfg: DAConfig, params, total_steps: int, head_prefixes: Sequence[str]):
+    """SGD with the DANN LR schedule; heads at head_lr_mult x the feature LR
+    (reference param groups, dann_office/main.py:325-338), plus the AlignQ
+    correction on feature conv kernels for method='ours'."""
+
+    def schedule(step):
+        p = step / max(total_steps, 1)
+        return dann_lr(cfg.lr / cfg.head_lr_mult, p, cfg.alpha)
+
+    def lr_mult_mask(params):
+        def rule(path, leaf):
+            top = str(getattr(path[0], "key", ""))
+            return cfg.head_lr_mult if top in head_prefixes else 1.0
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    mults = lr_mult_mask(params)
+    parts = [optax.add_decayed_weights(cfg.weight_decay)]
+    if cfg.momentum:
+        parts.append(optax.trace(decay=cfg.momentum))
+    if cfg.method == "ours" and cfg.bitW < 32:
+        mask = build_correction_mask(params, exclude=tuple(cfg.correction_exclude))
+        parts.append(
+            scale_by_alignq_correction(cfg.bitW, cfg.lam, cfg.lam2, mask=mask)
+        )
+    # per-leaf LR multiplier then the shared schedule
+    parts.append(
+        optax.GradientTransformation(
+            lambda params: optax.EmptyState(),
+            lambda updates, state, params=None: (
+                jax.tree.map(lambda u, m: u * m, updates, mults),
+                state,
+            ),
+        )
+    )
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+def _trans_loss_from(ds, duals, admm_cfg):
+    total = 0.0
+    for name, d in ds.items():
+        site = duals[name]
+        total = total + admm_loss(d, site.alter_d, site.gamma, admm_cfg)
+    return total
+
+
+def make_dann_train_step(model, cfg: DAConfig):
+    """One DANN step over a (source, target) batch pair."""
+    admm_cfg = ADMMConfig(cfg.admm_mu, cfg.admm_rho)
+    use_admm = cfg.admm
+
+    def loss_fn(params, batch_stats, xs, ys, xt, alpha, duals, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"] + (["admm_d"] if use_admm else [])
+        r1, r2 = jax.random.split(rng)
+        (src_cls, src_dom), v1 = model.apply(
+            variables, xs, alpha, train=True, compute_corr=use_admm,
+            mutable=mutable, rngs={"dropout": r1},
+        )
+        (_, tgt_dom), v2 = model.apply(
+            {"params": params, "batch_stats": v1["batch_stats"]},
+            xt, alpha, train=True, compute_corr=use_admm, mutable=mutable,
+            rngs={"dropout": r2},
+        )
+        src_class_loss = cross_entropy_loss(src_cls, ys)
+        src_dom_loss = cross_entropy_loss(
+            src_dom, jnp.zeros(xs.shape[0], jnp.int32)
+        )
+        tgt_dom_loss = cross_entropy_loss(
+            tgt_dom, jnp.ones(xt.shape[0], jnp.int32)
+        )
+        trans = 0.0
+        ds = {}
+        if use_admm:
+            ds_src = flatten_site_names(v1.get("admm_d", {}))
+            ds_tgt = flatten_site_names(v2.get("admm_d", {}))
+            trans = _trans_loss_from(ds_src, duals, admm_cfg) + _trans_loss_from(
+                ds_tgt, duals, admm_cfg
+            )
+            # duals are updated from the source-pass D (one site, one dual —
+            # the reference shares the module's ADMM params across both
+            # passes too)
+            ds = ds_src
+        if cfg.src_only_flag:
+            loss = src_class_loss
+        else:
+            loss = src_class_loss + src_dom_loss + tgt_dom_loss + trans
+        aux = {
+            "src_class": src_class_loss,
+            "src_domain": src_dom_loss,
+            "tgt_domain": tgt_dom_loss,
+            "trans": trans,
+            "logits": src_cls,
+        }
+        return loss, (aux, v2["batch_stats"], ds)
+
+    def train_step(state: TrainState, xs, ys, xt, alpha):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (loss, (aux, new_bs, ds)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, xs, ys, xt, alpha, state.admm_duals, rng)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        if use_admm:
+            new_duals = {
+                name: dual_update(state.admm_duals[name], d, admm_cfg)
+                for name, d in ds.items()
+            }
+            new_state = new_state.replace(admm_duals=new_duals)
+        acc = jnp.mean(jnp.argmax(aux["logits"], -1) == ys)
+        metrics = {
+            "loss": loss, "src_class": aux["src_class"],
+            "src_domain": aux["src_domain"], "tgt_domain": aux["tgt_domain"],
+            "trans": aux["trans"], "accuracy": acc,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_dann_eval_step(model, cfg: DAConfig):
+    """Dual eval: class + domain accuracy (dann_office/main.py:506-557)."""
+
+    def eval_step(state: TrainState, x, y, domain_label):
+        cls_out, dom_out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, 0.0, train=False,
+        )
+        return {
+            "loss": cross_entropy_loss(cls_out, y),
+            "top1": jnp.mean(jnp.argmax(cls_out, -1) == y),
+            "top5": jnp.mean(
+                jnp.any(
+                    jax.lax.top_k(cls_out, min(5, cls_out.shape[-1]))[1]
+                    == y[:, None],
+                    axis=-1,
+                )
+            ),
+            "domain_acc": jnp.mean(jnp.argmax(dom_out, -1) == domain_label),
+        }
+
+    return eval_step
+
+
+def make_dsan_train_step(model, cfg: DAConfig):
+    """One DSAN step (dsan_office/main.py:376-400)."""
+    admm_cfg = ADMMConfig(cfg.admm_mu, cfg.admm_rho)
+    use_admm = cfg.admm
+
+    def loss_fn(params, batch_stats, xs, ys, xt, lambd, duals, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"] + (["admm_d"] if use_admm else [])
+        (s_pred, s_feat, t_pred, t_feat), v = model.apply(
+            variables, xs, xt, train=True, compute_corr=use_admm,
+            mutable=mutable, rngs={"dropout": rng},
+        )
+        cls = cross_entropy_loss(s_pred, ys)
+        loss_lmmd = lmmd(
+            s_feat, t_feat, ys, jax.nn.softmax(t_pred, -1), cfg.num_classes
+        )
+        trans = 0.0
+        ds = {}
+        if use_admm:
+            ds = flatten_site_names(v.get("admm_d", {}))
+            trans = _trans_loss_from(ds, duals, admm_cfg)
+        loss = cls + cfg.param * lambd * loss_lmmd + trans
+        return loss, ({"cls": cls, "lmmd": loss_lmmd, "trans": trans, "logits": s_pred}, v["batch_stats"], ds)
+
+    def train_step(state: TrainState, xs, ys, xt, lambd):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (loss, (aux, new_bs, ds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, xs, ys, xt, lambd, state.admm_duals, rng
+        )
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        if use_admm:
+            new_duals = {
+                name: dual_update(state.admm_duals[name], d, admm_cfg)
+                for name, d in ds.items()
+            }
+            new_state = new_state.replace(admm_duals=new_duals)
+        acc = jnp.mean(jnp.argmax(aux["logits"], -1) == ys)
+        return new_state, {
+            "loss": loss, "cls": aux["cls"], "lmmd": aux["lmmd"],
+            "trans": aux["trans"], "accuracy": acc,
+        }
+
+    return train_step
+
+
+def fit_dann(
+    cfg: DAConfig,
+    loaders: dict,
+    model,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """DANN training loop over zipped source/target loaders
+    (dann_office/main.py:344-347)."""
+    from alignq_tpu.train.state import create_train_state
+
+    logger = get_logger(f"{cfg.job_dir}/logger.log")
+    steps_per_epoch = max(len(loaders["src_train"]), len(loaders["tgt_train"]))
+    total_steps = steps_per_epoch * cfg.num_epochs
+
+    sample_shape = (1, *loaders["src_train"].x.shape[1:])
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(
+        rng, model, cfg, input_shape=sample_shape, steps_per_epoch=steps_per_epoch
+    )
+    # swap in the DA optimizer (head LR groups + DANN schedule)
+    tx = make_da_optimizer(
+        cfg, state.params, total_steps,
+        head_prefixes=("class_classifier", "domain_classifier", "classifier", "discriminator"),
+    )
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+
+    train_step = jax.jit(make_dann_train_step(model, cfg), donate_argnums=(0,))
+    eval_step = jax.jit(make_dann_eval_step(model, cfg))
+
+    best = {"tgt_top1": 0.0}
+    step = 0
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        meters = {k: AverageMeter() for k in ("loss", "accuracy")}
+        for (xs, ys), (xt, _) in zip(loaders["src_train"], loaders["tgt_train"]):
+            p = step / max(total_steps, 1)
+            alpha = float(grl_alpha(p))
+            state, m = train_step(
+                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt), alpha
+            )
+            for k in meters:
+                meters[k].update(float(m[k]))
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+
+        # dual test loops: target & source (dann_office/main.py:506-557)
+        accs = {}
+        for split, dom in (("tgt_test", 1), ("src_test", 0)):
+            am = AverageMeter()
+            for x, y in loaders[split]:
+                em = eval_step(state, jnp.asarray(x), jnp.asarray(y), dom)
+                am.update(float(em["top1"]) * 100, len(y))
+            accs[split] = am.avg
+        best["tgt_top1"] = max(best["tgt_top1"], accs["tgt_test"])
+        logger.info(
+            f"DANN[{epoch}] loss {meters['loss'].avg:.4f} "
+            f"src_acc {accs['src_test']:.2f} tgt_acc {accs['tgt_test']:.2f} "
+            f"(best {best['tgt_top1']:.2f}) [{time.time()-t0:.1f}s]"
+        )
+        if max_steps is not None and step >= max_steps:
+            break
+    return {"best_tgt_top1": best["tgt_top1"], "state": state}

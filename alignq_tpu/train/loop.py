@@ -1,0 +1,115 @@
+"""Epoch-based training driver.
+
+Reference: main()/train()/test() in each project's main.py
+(/root/reference/cdf_alignment/resnet-20-cifar-10/main.py:36-159, 229-377).
+One function instead of 12 copy-pasted drivers; the per-step work is a single
+jitted XLA program (train/steps.py) and the host loop only feeds batches and
+logs (no per-parameter Python loops, no module-attribute harvesting).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignq_tpu.data.loader import Data
+from alignq_tpu.models import registry as model_registry
+from alignq_tpu.train.checkpoint import CheckpointManager
+from alignq_tpu.train.config import TrainConfig
+from alignq_tpu.train.state import create_train_state
+from alignq_tpu.train.steps import make_eval_step, make_train_step
+from alignq_tpu.utils.logging_utils import MetricWriter, get_logger
+from alignq_tpu.utils.meters import AverageMeter
+
+
+def evaluate(eval_step, state, loader) -> dict:
+    meters = {"loss": AverageMeter(), "top1": AverageMeter(), "top5": AverageMeter()}
+    for xb, yb in loader:
+        m = eval_step(state, jnp.asarray(xb), jnp.asarray(yb))
+        for k, meter in meters.items():
+            meter.update(float(m[k]), len(yb))
+    return {k: meter.avg for k, meter in meters.items()}
+
+
+def fit(
+    cfg: TrainConfig,
+    data: Data,
+    model=None,
+    resume: bool = False,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """Train per config; returns {'best_top1', 'best_top5', 'state'}."""
+    logger = get_logger(f"{cfg.job_dir}/logger.log")
+    writer_train = MetricWriter(cfg.job_dir, "train")
+    writer_test = MetricWriter(cfg.job_dir, "test")
+
+    if model is None:
+        model = model_registry.build_model(cfg)
+
+    steps_per_epoch = len(data.loader_train)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(
+        rng, model, cfg, input_shape=(1, *data.loader_test.x.shape[1:]),
+        steps_per_epoch=steps_per_epoch,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info(
+        f"model={cfg.target_model} method={cfg.method} W{cfg.bitW}A{cfg.abitW} "
+        f"admm={cfg.admm} params={n_params:,} steps/epoch={steps_per_epoch}"
+    )
+
+    ckpt = CheckpointManager(cfg.job_dir)
+    start_epoch = 0
+    if resume:
+        state, start_epoch = ckpt.restore(state)
+        logger.info(f"resumed from epoch {start_epoch}")
+
+    train_step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model, cfg))
+
+    best = {"top1": 0.0, "top5": 0.0}
+    total_steps = 0
+    for epoch in range(start_epoch, cfg.num_epochs):
+        t0 = time.time()
+        loss_m, acc_m = AverageMeter(), AverageMeter()
+        for i, (xb, yb) in enumerate(data.loader_train, 1):
+            state, metrics = train_step(state, jnp.asarray(xb), jnp.asarray(yb))
+            total_steps += 1
+            loss_m.update(float(metrics["loss"]), len(yb))
+            acc_m.update(float(metrics["accuracy"]) * 100, len(yb))
+            if i % cfg.print_freq == 0:
+                logger.info(
+                    f"Epoch[{epoch}]({i}/{steps_per_epoch}) "
+                    f"loss {loss_m.val:.4f} ({loss_m.avg:.4f}) "
+                    f"top1 {acc_m.val:.2f} ({acc_m.avg:.2f})"
+                )
+                writer_train.write(
+                    int(state.step), {"loss": loss_m.val, "top1": acc_m.val}
+                )
+            if max_steps is not None and total_steps >= max_steps:
+                break
+
+        if (epoch + 1) % cfg.eval_freq_epochs == 0 or epoch == cfg.num_epochs - 1:
+            em = evaluate(eval_step, state, data.loader_test)
+            em["top1"] *= 100
+            em["top5"] *= 100
+            is_best = em["top1"] > best["top1"]
+            best["top1"] = max(best["top1"], em["top1"])
+            best["top5"] = max(best["top5"], em["top5"])
+            logger.info(
+                f"Epoch[{epoch}] eval top1 {em['top1']:.3f} top5 {em['top5']:.3f} "
+                f"(best {best['top1']:.3f}) [{time.time()-t0:.1f}s]"
+            )
+            writer_test.write(int(state.step), em)
+            ckpt.save(epoch + 1, state, metrics=em)
+
+        if max_steps is not None and total_steps >= max_steps:
+            break
+
+    ckpt.wait()
+    logger.info(f"Best @prec1: {best['top1']:.3f} @prec5: {best['top5']:.3f}")
+    return {"best_top1": best["top1"], "best_top5": best["top5"], "state": state}

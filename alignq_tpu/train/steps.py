@@ -1,0 +1,120 @@
+"""Jitted train / eval steps.
+
+Reference call stacks: SURVEY.md section 3.1/3.2 —
+- CDF-only: forward -> CE -> backward -> harvest cdf/pdf -> corrected SGD
+  (r20/main.py:269-336)
+- CDF+ADMM: forward threads trans_loss; we use the combined single-backward
+  formulation (cdf_alignment_admm/resnet-20-cifar-10/main.py:294-300), which
+  is gradient-equivalent to admm56's split backward with retain_graph
+  (admm56 main.py:303-311; the `trans_loss += 0.5` there is a constant with
+  zero gradient, documented and dropped).
+
+The whole step — forward, backward, optimizer, ADMM dual assignments — is a
+single jitted function: one XLA program, no host round-trips (the reference
+does per-parameter Python loops in SGD.step, optimizer.py:212-255).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from alignq_tpu.admm.loss import ADMMConfig, admm_loss
+from alignq_tpu.admm.state import dual_update
+from alignq_tpu.train.config import TrainConfig
+from alignq_tpu.train.state import TrainState, flatten_site_names
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+
+
+def make_train_step(
+    model,
+    cfg: TrainConfig,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    axis_name: when run under shard_map over a data mesh, the name used for
+    gradient psums. None for single-device.
+    """
+    admm_cfg = ADMMConfig(mu=cfg.admm_mu, rho=cfg.admm_rho)
+    use_admm = cfg.admm
+
+    def loss_fn(params, batch_stats, images, labels, dropout_rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"] + (["admm_d"] if use_admm else [])
+        (logits), new_vars = model.apply(
+            variables,
+            images,
+            train=True,
+            compute_corr=use_admm,
+            mutable=mutable,
+            rngs={"dropout": dropout_rng},
+        )
+        ce = cross_entropy_loss(logits, labels)
+        ds = flatten_site_names(new_vars.get("admm_d", {})) if use_admm else {}
+        return ce, (logits, new_vars.get("batch_stats", batch_stats), ds)
+
+    def loss_with_trans(params, batch_stats, images, labels, duals, dropout_rng):
+        ce, (logits, new_bs, ds) = loss_fn(
+            params, batch_stats, images, labels, dropout_rng
+        )
+        trans = 0.0
+        if use_admm:
+            for name, d in ds.items():
+                site = duals[name]
+                trans = trans + admm_loss(d, site.alter_d, site.gamma, admm_cfg)
+        return ce + trans, (ce, logits, new_bs, ds)
+
+    def train_step(state: TrainState, images, labels):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        grad_fn = jax.value_and_grad(loss_with_trans, has_aux=True)
+        (loss, (ce, logits, new_bs, ds)), grads = grad_fn(
+            state.params, state.batch_stats, images, labels, state.admm_duals,
+            dropout_rng,
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        if use_admm:
+            new_duals = {
+                name: dual_update(state.admm_duals[name], d, admm_cfg)
+                for name, d in ds.items()
+            }
+            new_state = new_state.replace(admm_duals=new_duals)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        metrics = {"loss": loss, "ce": ce, "trans": loss - ce, "accuracy": acc}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: TrainConfig, axis_name: Optional[str] = None) -> Callable:
+    """Pure eval: no mutation, no trans-loss (SURVEY.md hard part 6)."""
+
+    def eval_step(state: TrainState, images, labels):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        loss = cross_entropy_loss(logits, labels)
+        top1 = jnp.mean(jnp.argmax(logits, -1) == labels)
+        top5_hits = jnp.any(
+            jax.lax.top_k(logits, min(5, logits.shape[-1]))[1] == labels[:, None],
+            axis=-1,
+        )
+        metrics = {"loss": loss, "top1": top1, "top5": jnp.mean(top5_hits)}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    return eval_step

