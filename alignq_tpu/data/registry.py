@@ -6,12 +6,11 @@ synthetic fallback stands in when the on-disk dataset is absent
 
 from __future__ import annotations
 
-import functools
 import logging
 
 import numpy as np
 
-from alignq_tpu.data import augment, datasets
+from alignq_tpu.data import datasets
 from alignq_tpu.data.loader import ArrayLoader, Data
 
 log = logging.getLogger(__name__)
@@ -26,15 +25,28 @@ def _cifar_like(
     std: np.ndarray,
     train_augment: bool,
 ):
+    from alignq_tpu.data import native_augment
+
     tx, ty, ex, ey = arrays
-    norm = functools.partial(augment.normalize, mean=mean, std=std)
-    aug = augment.random_crop_flip if train_augment else None
-    train = ArrayLoader(
-        tx, ty, train_bs, shuffle=True, drop_remainder=True,
-        augment_fn=aug, transform_fn=norm, seed=seed,
-    )
+    if train_augment:
+        # fused native crop+flip+normalize when native/libaugment.so is
+        # built; numpy fallback otherwise (same rng stream either way)
+        def aug(b, rng):
+            return native_augment.augment_normalize(b, rng, mean, std)
+
+        train = ArrayLoader(
+            tx, ty, train_bs, shuffle=True, drop_remainder=True,
+            augment_fn=aug, seed=seed,
+        )
+    else:
+        train = ArrayLoader(
+            tx, ty, train_bs, shuffle=True, drop_remainder=True,
+            transform_fn=lambda b: native_augment.normalize_only(b, mean, std),
+            seed=seed,
+        )
     test = ArrayLoader(
-        ex, ey, eval_bs, shuffle=False, drop_remainder=True, transform_fn=norm,
+        ex, ey, eval_bs, shuffle=False, drop_remainder=True,
+        transform_fn=lambda b: native_augment.normalize_only(b, mean, std),
     )
     return Data(train, test)
 

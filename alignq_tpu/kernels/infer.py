@@ -64,10 +64,12 @@ def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dic
     )
     out["layers"] = []
     for name in layers:
+        # stride is structural: presence of the skip branch implies stride 2
+        # (resnet.py:61-66) — keeping it out of the pytree leaves it static
+        # under jit.
         blk = {
             "conv0": fold((name, "conv0"), (name, "bn0")),
             "conv1": fold((name, "conv1"), (name, "bn1")),
-            "stride": 2 if "skip_conv" in params[name] else 1,
         }
         if "skip_conv" in params[name]:
             blk["skip"] = fold((name, "skip_conv"), (name, "skip_bn"))
@@ -88,11 +90,12 @@ def resnet20_int8_forward(qparams: Dict[str, Any], x: jax.Array) -> jax.Array:
     out = _int8_conv(_quant(x), qparams["conv0"], 1, 1)
     out = jax.nn.relu(out)  # act_q is realized by the NEXT conv's quantize
     for blk in qparams["layers"]:
+        stride = 2 if "skip" in blk else 1
         if "skip" in blk:
-            shortcut = _int8_conv(_quant(out), blk["skip"], blk["stride"], 0)
+            shortcut = _int8_conv(_quant(out), blk["skip"], stride, 0)
         else:
             shortcut = out
-        h = _int8_conv(_quant(out), blk["conv0"], blk["stride"], 1)
+        h = _int8_conv(_quant(out), blk["conv0"], stride, 1)
         h = jax.nn.relu(h)
         h = _int8_conv(_quant(h), blk["conv1"], 1, 1)
         out = jax.nn.relu(h + shortcut)

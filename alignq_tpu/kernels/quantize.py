@@ -29,9 +29,26 @@ def interpret_mode() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _erf_approx(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 — two orders
+    below the int8 half-step 1/254). Pallas TPU has no erf primitive
+    (Mosaic lowering raises NotImplementedError), so we build it from
+    exp/mul/abs which the VPU has."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return sign * y
+
+
 def _cdf_quant_kernel(x_ref, out_ref):
     x = x_ref[:]
-    c = jax.lax.erf(x / _SQRT2)  # == 2*Phi(x) - 1
+    c = _erf_approx(x / _SQRT2)  # == 2*Phi(x) - 1
     q = jnp.clip(jnp.round(c * 127.0), -127.0, 127.0)
     out_ref[:] = q.astype(jnp.int8)
 

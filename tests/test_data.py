@@ -92,3 +92,28 @@ class TestRegistry:
 
         with pytest.raises(ValueError):
             get_data("imagenet21k", "/tmp", 8, 8)
+
+
+class TestNativeAugment:
+    def test_native_matches_numpy_fallback(self):
+        import alignq_tpu.data.native_augment as na
+        from alignq_tpu.data.datasets import CIFAR10_MEAN, CIFAR10_STD
+
+        x = np.random.RandomState(0).randint(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+        r1, r2 = np.random.RandomState(5), np.random.RandomState(5)
+        out_a = na.augment_normalize(x, r1, CIFAR10_MEAN, CIFAR10_STD)
+        saved, na._LIB = na._LIB, None
+        try:
+            out_b = na.augment_normalize(x, r2, CIFAR10_MEAN, CIFAR10_STD)
+        finally:
+            na._LIB = saved
+        np.testing.assert_allclose(out_a, out_b, atol=1e-5)
+
+    def test_normalize_only(self):
+        import alignq_tpu.data.native_augment as na
+        from alignq_tpu.data.datasets import CIFAR10_MEAN, CIFAR10_STD
+
+        x = np.full((2, 4, 4, 3), 128, np.uint8)
+        out = na.normalize_only(x, CIFAR10_MEAN, CIFAR10_STD)
+        want = (128 / 255.0 - CIFAR10_MEAN) / CIFAR10_STD
+        np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
