@@ -27,7 +27,8 @@ def make_mesh(
     n = len(devices)
     if shape is None:
         shape = (n,) + (1,) * (len(axes) - 1)
-    if int(np.prod(shape)) != n:
+    need = int(np.prod(shape))
+    if need > n:
         raise ValueError(f"mesh shape {shape} does not cover {n} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, tuple(axes))

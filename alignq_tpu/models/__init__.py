@@ -11,6 +11,7 @@ from alignq_tpu.models.resnet_imagenet import (
     resnet34_quant,
     resnet50_quant,
 )
+from alignq_tpu.models.mdd import MDDNet, mdd_grl_coeff, mdd_loss, mddnet
 from alignq_tpu.models.dann import (
     DANN,
     DSAN,

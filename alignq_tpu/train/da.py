@@ -255,6 +255,75 @@ def make_dsan_train_step(model, cfg: DAConfig):
     return train_step
 
 
+def fit_dsan(
+    cfg: DAConfig,
+    loaders: dict,
+    model,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """DSAN loop (dsan_office/main.py:333-420): zipped loaders with the
+    batch-size-equalization handled by drop-remainder static batches; LMMD
+    weight ramp lambda = 2/(1+e^{-10 ep/E}) - 1 (main.py:395-397)."""
+    import math
+
+    from alignq_tpu.train.state import create_train_state
+    from alignq_tpu.train.steps import cross_entropy_loss as _ce  # noqa: F401
+
+    logger = get_logger(f"{cfg.job_dir}/logger.log")
+    steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
+    total_steps = steps_per_epoch * cfg.num_epochs
+
+    sample_shape = (1, *loaders["src_train"].x.shape[1:])
+    state = create_train_state(
+        jax.random.PRNGKey(cfg.seed), model, cfg, input_shape=sample_shape,
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx = make_da_optimizer(
+        cfg, state.params, total_steps, head_prefixes=("cls_fc", "bottle")
+    )
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+
+    train_step = jax.jit(make_dsan_train_step(model, cfg), donate_argnums=(0,))
+
+    @jax.jit
+    def eval_step(state, x, y):
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        return {
+            "top1": jnp.mean(jnp.argmax(pred, -1) == y),
+        }
+
+    best = {"tgt_top1": 0.0}
+    step = 0
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        lambd = 2.0 / (1.0 + math.exp(-10.0 * epoch / max(cfg.num_epochs, 1))) - 1.0
+        lm = AverageMeter()
+        for (xs, ys), (xt, _) in zip(loaders["src_train"], loaders["tgt_train"]):
+            state, m = train_step(
+                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt), lambd
+            )
+            lm.update(float(m["loss"]))
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+        am = AverageMeter()
+        for x, y in loaders["tgt_test"]:
+            em = eval_step(state, jnp.asarray(x), jnp.asarray(y))
+            am.update(float(em["top1"]) * 100, len(y))
+        best["tgt_top1"] = max(best["tgt_top1"], am.avg)
+        logger.info(
+            f"DSAN[{epoch}] loss {lm.avg:.4f} lambda {lambd:.3f} "
+            f"tgt_acc {am.avg:.2f} (best {best['tgt_top1']:.2f}) "
+            f"[{time.time()-t0:.1f}s]"
+        )
+        if max_steps is not None and step >= max_steps:
+            break
+    return {"best_tgt_top1": best["tgt_top1"], "state": state}
+
+
 def fit_dann(
     cfg: DAConfig,
     loaders: dict,

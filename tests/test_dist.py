@@ -95,3 +95,39 @@ class TestDPGradEquivalence:
         np.testing.assert_allclose(
             float(m_single["trans"]), float(m_shard["trans"]), rtol=1e-3, atol=1e-5
         )
+
+
+class TestLocalCorrMode:
+    def test_shardmap_local_duals(self):
+        """'local' block-diagonal corr mode: per-shard duals evolve
+        independently, metrics replicated (SURVEY.md section 5)."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from alignq_tpu.dist.corr import (
+            create_local_duals,
+            make_local_corr_train_step,
+        )
+        from alignq_tpu.models import resnet20_quant
+        from alignq_tpu.train import TrainConfig, create_train_state
+
+        mesh = make_mesh((4,), ("data",))
+        cfg = TrainConfig(train_batch_size=16, bitW=4, abitW=4, admm=True)
+        model = resnet20_quant(bitW=4, abitW=4, method="ours", admm=True)
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, cfg, input_shape=(1, 16, 16, 3),
+            steps_per_epoch=10,
+        )
+        duals = create_local_duals(jax.random.PRNGKey(1), list(state.admm_duals), cfg, 4)
+        state = state.replace(admm_duals=duals)
+        name = sorted(duals)[0]
+        assert duals[name].alter_d.shape == (4, 4, 4)
+
+        step = make_local_corr_train_step(model, cfg, mesh)
+        x = jax.random.normal(jax.random.PRNGKey(2), (16, 16, 16, 3))
+        y = jax.random.randint(jax.random.PRNGKey(3), (16,), 0, 10)
+        x, y = shard_batch((x, y), mesh)
+        state, m = step(state, x, y)
+        assert np.isfinite(float(m["loss"]))
+        d = state.admm_duals[name]
+        # each shard annealed its own duals from its own D
+        assert not np.allclose(np.asarray(d.alter_d[0]), np.asarray(d.alter_d[1]))
