@@ -72,6 +72,17 @@ def get_digit_domain(
         if d is not None:
             arrays = (d["train"]["images"], d["train"]["labels"],
                       d["test"]["images"], d["test"]["labels"])
+    elif name == "syndigits":
+        # SynDigits ships as an ImageFolder tree (reference data/syndigit.py)
+        from alignq_tpu.data.office import load_image_folder, split_train_test
+
+        loaded = load_image_folder(
+            os.path.join(data_dir, "syndigits"), image_size=img_size
+        )
+        if loaded is not None:
+            x_all, y_all = loaded
+            tr, te = split_train_test(len(x_all), 0.9, seed=1)
+            arrays = (x_all[tr], y_all[tr], x_all[te], y_all[te])
     if arrays is None:
         # synthetic per-domain fallback (domain-specific photometric shift)
         from alignq_tpu.data.office import synthetic_domain

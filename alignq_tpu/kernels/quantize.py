@@ -53,23 +53,28 @@ def _cdf_quant_kernel(x_ref, out_ref):
     out_ref[:] = q.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def cdf_quantize_int8(x: jax.Array, block_rows: int = 512) -> jax.Array:
-    """Fused Phi-transform + int8 rounding. x: (..., F) float32 -> int8.
+@functools.partial(jax.jit, static_argnames=("block_rows", "lanes"))
+def cdf_quantize_int8(x: jax.Array, block_rows: int = 256, lanes: int = 1024) -> jax.Array:
+    """Fused Phi-transform + int8 rounding; any shape float32 -> same-shape int8.
 
-    Grid-tiled over leading rows so arbitrarily large activations stream
-    through VMEM. The dequant scale is the static 1/127 (times act_range at
-    the consumer).
+    The transform is elementwise, so we ignore the semantic shape entirely
+    and stream a flat lane-aligned 2-D view through VMEM — NHWC activations
+    often have tiny channel dims (3/16/32) that would waste 125/128 of the
+    vector lanes if tiled on the channel axis. The dequant scale is the
+    static 1/127 (times act_range at the consumer).
     """
     orig_shape = x.shape
-    f = orig_shape[-1]
-    rows = math.prod(orig_shape[:-1]) if len(orig_shape) > 1 else 1
-    x2 = x.reshape(rows, f)
+    total = math.prod(orig_shape) if orig_shape else 1
+    rows = pl.cdiv(total, lanes)
+    flat = x.reshape(-1)
+    pad_elems = rows * lanes - total
+    if pad_elems:
+        flat = jnp.pad(flat, (0, pad_elems))
+    x2 = flat.reshape(rows, lanes)
     rb = min(block_rows, rows)
-    # pad rows to a multiple of the block
-    pad = (-rows) % rb
-    if pad:
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    row_pad = (-rows) % rb
+    if row_pad:
+        x2 = jnp.pad(x2, ((0, row_pad), (0, 0)))
     n_blocks = x2.shape[0] // rb
 
     out = pl.pallas_call(
@@ -77,14 +82,12 @@ def cdf_quantize_int8(x: jax.Array, block_rows: int = 512) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.int8),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((rb, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((rb, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret_mode(),
     )(x2)
-    if pad:
-        out = out[:rows]
-    return out.reshape(orig_shape)
+    return out.reshape(-1)[:total].reshape(orig_shape)
 
 
 def cdf_quantize_int8_reference(x: jax.Array) -> jax.Array:

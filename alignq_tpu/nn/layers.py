@@ -151,17 +151,31 @@ class QConv(nn.Module):
 
         lhs, rhs = x, wq
         if self.mxu_dtype is not None:
+            # single-pass MXU: both operands in bf16; keep the conv OUTPUT in
+            # bf16 too (cast after) so the VJP's transposed convs see matching
+            # dtypes — preferred_element_type=f32 with bf16 operands breaks
+            # under grad (f32 cotangent vs bf16 kernel). The MXU still
+            # accumulates in f32 internally.
             lhs = lhs.astype(self.mxu_dtype)
             rhs = rhs.astype(self.mxu_dtype)
-        y = jax.lax.conv_general_dilated(
-            lhs,
-            rhs,
-            window_strides=tuple(self.strides),
-            padding=pad,
-            feature_group_count=self.feature_group_count,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+            y = jax.lax.conv_general_dilated(
+                lhs,
+                rhs,
+                window_strides=tuple(self.strides),
+                padding=pad,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32)
+        else:
+            y = jax.lax.conv_general_dilated(
+                lhs,
+                rhs,
+                window_strides=tuple(self.strides),
+                padding=pad,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", _torch_bias_init(kh * kw * in_features), (self.features,)

@@ -42,3 +42,10 @@ def alignq_sgd(
         )
     parts.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*parts)
+
+
+def adam(learning_rate, **kw) -> optax.GradientTransformation:
+    """Working Adam (reference C31: dense-cifar-10/utils/optimizer.py defines
+    an Adam whose step body is entirely commented out — a silent no-op trap.
+    We expose the real thing instead of porting the trap)."""
+    return optax.adam(learning_rate, **kw)

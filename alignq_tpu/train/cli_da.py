@@ -1,0 +1,105 @@
+"""Domain-adaptation CLI (reference dann_office / dsan_office / dann_digit
+main.py drivers).
+
+    python -m alignq_tpu.train.cli_da --task dann --src_data dslr \
+        --tgt_data webcam --bitW 8 --admm
+    python -m alignq_tpu.train.cli_da --task dsan --src_data amazon \
+        --tgt_data webcam --bitW 4
+    python -m alignq_tpu.train.cli_da --task digit --src_data mnist \
+        --tgt_data mnistm
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="AlignQ-TPU domain-adaptation trainer")
+    d = DAConfig()
+    p.add_argument("--task", choices=["dann", "dsan", "digit"], default="dann")
+    p.add_argument("--arch", default="resnet50")
+    p.add_argument("--method", default=d.method)
+    p.add_argument("--bitW", type=int, default=d.bitW)
+    p.add_argument("--abitW", type=int, default=d.abitW)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--train_batch_size", type=int, default=28)
+    p.add_argument("--eval_batch_size", type=int, default=28)
+    p.add_argument("--num_epochs", type=int, default=d.num_epochs)
+    p.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    p.add_argument("--src_data", default=d.src_data)
+    p.add_argument("--tgt_data", default=d.tgt_data)
+    p.add_argument("--param", type=float, default=d.param)
+    p.add_argument("--bottle_neck", action="store_true", default=True)
+    p.add_argument("--img_size", type=int, default=d.img_size)
+    p.add_argument("--image_size", type=int, default=224, help="office image size")
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--admm", action="store_true")
+    p.add_argument("--data_dir", default=d.data_dir)
+    p.add_argument("--job_dir", default=d.job_dir)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--max_steps", type=int, default=None)
+    a = p.parse_args(argv)
+
+    num_classes = a.num_classes or (10 if a.task == "digit" else 31)
+    field_names = {f.name for f in dataclasses.fields(DAConfig)}
+    cfg = DAConfig(
+        **{k: v for k, v in vars(a).items() if k in field_names and k != "num_classes"},
+        num_classes=num_classes,
+    )
+
+    if a.task == "digit":
+        from alignq_tpu.data.digits import get_digit_domain
+        from alignq_tpu.models import mnist_model_quant
+
+        loaders = {
+            key: get_digit_domain(
+                dom, a.data_dir, a.train_batch_size, train=train,
+                img_size=a.img_size, seed=a.seed,
+            )
+            for key, dom, train in (
+                ("src_train", a.src_data, True),
+                ("tgt_train", a.tgt_data, True),
+                ("src_test", a.src_data, False),
+                ("tgt_test", a.tgt_data, False),
+            )
+        }
+        model = mnist_model_quant(
+            bitW=a.bitW, abitW=a.abitW, method=a.method, admm=a.admm
+        )
+        # digit driver uses plain SGD (dann_digit/main.py:108)
+        cfg = dataclasses.replace(cfg, use_correction=False)
+        result = fit_dann(cfg, loaders, model, max_steps=a.max_steps)
+    else:
+        from alignq_tpu.data.office import get_office_pair
+
+        loaders = get_office_pair(
+            a.data_dir, a.src_data, a.tgt_data, a.train_batch_size,
+            a.eval_batch_size, seed=a.seed, image_size=a.image_size,
+        )
+        if a.task == "dann":
+            from alignq_tpu.models import DANN
+
+            model = DANN(
+                arch=a.arch, num_classes=num_classes, w_bit=a.bitW,
+                a_bit=a.abitW, method=a.method, admm=a.admm,
+            )
+            result = fit_dann(cfg, loaders, model, max_steps=a.max_steps)
+        else:
+            from alignq_tpu.models import DSAN
+
+            model = DSAN(
+                arch=a.arch, num_classes=num_classes, bottle_neck=a.bottle_neck,
+                w_bit=a.bitW, a_bit=a.abitW, method=a.method, admm=a.admm,
+            )
+            result = fit_dsan(cfg, loaders, model, max_steps=a.max_steps)
+
+    print(f"best_tgt_top1={result['best_tgt_top1']:.3f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

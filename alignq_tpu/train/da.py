@@ -51,6 +51,9 @@ class DAConfig(TrainConfig):
     bottle_neck: bool = True
     img_size: int = 28  # digit models
     num_classes: int = 31
+    # the digit driver uses plain torch SGD — no PDF correction
+    # (dann_digit/main.py:108); office drivers use the corrected SGD
+    use_correction: bool = True
     lr: float = 1e-3
     weight_decay: float = 5e-4
     head_lr_mult: float = 10.0
@@ -86,7 +89,7 @@ def make_da_optimizer(cfg: DAConfig, params, total_steps: int, head_prefixes: Se
     parts = [optax.add_decayed_weights(cfg.weight_decay)]
     if cfg.momentum:
         parts.append(optax.trace(decay=cfg.momentum))
-    if cfg.method == "ours" and cfg.bitW < 32:
+    if cfg.method == "ours" and cfg.bitW < 32 and cfg.use_correction:
         mask = build_correction_mask(params, exclude=tuple(cfg.correction_exclude))
         parts.append(
             scale_by_alignq_correction(cfg.bitW, cfg.lam, cfg.lam2, mask=mask)
