@@ -232,7 +232,13 @@ class QuantAct(nn.Module):
     method: str = "ours"
     variant: str = "b"
     admm: bool = False
-    corr_eps: float = 0.0
+    # std epsilon in the corr standardization. The r20 reference divides by
+    # a raw std (quantization.py:135 — 1/0 for any feature constant across
+    # the batch); the office twin guards with +1e-5 (dann_office
+    # quantization.py:158-161). We default to the guarded form: with
+    # low-bit-quantized upstream activations two samples can tie exactly,
+    # and per-shard corr (small B_local) makes that common.
+    corr_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, compute_corr: bool = False) -> jax.Array:
