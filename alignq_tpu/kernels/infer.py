@@ -1,27 +1,58 @@
 """True-INT8 ResNet-20 inference graph (the bench.py headline path).
 
-Per conv site: Pallas fused CDF-quantize of the activation to int8
-(kernels/quantize.py), XLA int8 conv on the MXU with int32 accumulation,
-then the folded BN (scale, bias) epilogue in f32 — residual adds and ReLUs
-stay in f32 on the VPU where XLA fuses them with the epilogue.
+Faithfully shadows the QAT ('ours') forward (resnet.py:78-98, 145-160):
 
-Replaces the reference's fake-quant forward (r20/model/resnet.py:145-160) on
-the inference path; topology ('ours' ordering, conv->bn->act_q->relu) and
-quantization semantics match QAT so trained weights drop in via
-kernels/convert.py.
+    conv -> bn -> act_q -> (relu) -> ... residual add -> relu
+
+- act_q sites run at PRODUCTION (right after the folded conv+bn), exactly
+  like training: codes = round(clip(erf(h/sqrt2), -1, 1) * 127) — the value
+  is ACT_SCALE*codes, the canonical-int8 form of the reference's
+  fake-quant grid (SURVEY.md section 2.4.6).
+- relu / residual adds stay in f32 — identical to training; all inter-site
+  values are exact multiples of ACT_SCALE.
+- conv INPUTS are int8:
+  * conv1 consumes relu(act-quantized codes) — bit-exact re-use of the
+    codes, no requantization error;
+  * block conv0 / skip consume residual sums (range ~[0, 4]) — one linear
+    requantization at S_RES = 4/127 (error <= S_RES/2, absent in training;
+    the price of integer inputs);
+  * the stem consumes normalized images at a static calibration scale
+    S_IMG.
+- BN folds into the conv epilogue per-channel scale/bias (convert.py).
+
+An earlier formulation quantized with erf at conv CONSUMPTION instead of
+production; it agreed at random init but collapsed on trained nets (erf of
+a residual sum != sum of erf's) — tools/export_int8.py measures the
+deployment delta and guards against that class of bug.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 from alignq_tpu.kernels.convert import QConvInt8, fold_conv_bn
-from alignq_tpu.kernels.quantize import cdf_quantize_int8
 
-ACT_SCALE = 2.0 / 127.0  # act_range=2 folded over the symmetric 127 grid
+_SQRT2 = math.sqrt(2.0)
+
+ACT_SCALE = 2.0 / 127.0  # act_range=2 over the symmetric 127 grid
+S_RES = 4.0 / 127.0  # residual-sum requantization scale (range [0, 4])
+S_IMG = 3.0 / 127.0  # normalized-image scale (CIFAR norm ~ [-2.5, 2.7])
+
+
+def _erfq_codes(h: jax.Array) -> jax.Array:
+    """Act-site quantization codes: round(erf(h/sqrt2) * 127) in int8.
+
+    Elementwise — XLA fuses it into the preceding conv's epilogue."""
+    c = jax.lax.erf(h / _SQRT2)
+    return jnp.clip(jnp.round(c * 127.0), -127.0, 127.0).astype(jnp.int8)
+
+
+def _linear_q(x: jax.Array, scale: float) -> jax.Array:
+    return jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
 
 
 def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
@@ -36,15 +67,14 @@ def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 
     return acc.astype(jnp.float32) * q.scale + q.bias
 
 
-def _quant(x: jax.Array) -> jax.Array:
-    return cdf_quantize_int8(x)
-
-
 def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dict[str, Any]:
-    """Fold every conv+bn pair of the trained PreActResNet-20 into int8 form."""
+    """Fold every conv+bn pair of the trained PreActResNet-20 into int8 form.
+
+    Each conv's epilogue scale folds ITS OWN input scale: stem S_IMG, block
+    conv0/skip S_RES, conv1 ACT_SCALE."""
     out: Dict[str, Any] = {}
 
-    def fold(conv_path, bn_path):
+    def fold(conv_path, bn_path, act_scale):
         k = params
         for p in conv_path:
             k = k[p]
@@ -54,25 +84,25 @@ def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dic
             bns = bns[p]
         return fold_conv_bn(
             k["kernel"], bnp["scale"], bnp["bias"], bns["mean"], bns["var"],
-            act_scale=ACT_SCALE,
+            act_scale=act_scale,
         )
 
-    out["conv0"] = fold(("conv0",), ("bn",))
+    out["conv0"] = fold(("conv0",), ("bn",), S_IMG)
     layers = sorted(
         (k for k in params if k.startswith("layers_")),
         key=lambda s: int(s.split("_")[1]),
     )
     out["layers"] = []
-    for name in layers:
-        # stride is structural: presence of the skip branch implies stride 2
-        # (resnet.py:61-66) — keeping it out of the pytree leaves it static
-        # under jit.
+    for i, name in enumerate(layers):
+        # conv0/skip consume: stem output (layer 0: relu(codes)*ACT_SCALE,
+        # range [0,2]) or residual sums (range [0,4]); S_RES covers both
+        in_scale = ACT_SCALE if i == 0 else S_RES
         blk = {
-            "conv0": fold((name, "conv0"), (name, "bn0")),
-            "conv1": fold((name, "conv1"), (name, "bn1")),
+            "conv0": fold((name, "conv0"), (name, "bn0"), in_scale),
+            "conv1": fold((name, "conv1"), (name, "bn1"), ACT_SCALE),
         }
         if "skip_conv" in params[name]:
-            blk["skip"] = fold((name, "skip_conv"), (name, "skip_bn"))
+            blk["skip"] = fold((name, "skip_conv"), (name, "skip_bn"), in_scale)
         out["layers"].append(blk)
     out["logit"] = {
         "kernel": params["logit"]["kernel"],
@@ -82,23 +112,33 @@ def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dic
 
 
 def resnet20_int8_forward(qparams: Dict[str, Any], x: jax.Array) -> jax.Array:
-    """INT8 forward matching the 'ours' topology (resnet.py:145-160):
-    stem conv -> bn -> act_q -> relu; blocks conv->bn->act_q(->relu) with
-    residual adds in f32."""
-    # stem: the first conv consumes the (normalized f32) image quantized to
-    # int8 on the same grid — input stats are ~N(0,1) post-normalization
-    out = _int8_conv(_quant(x), qparams["conv0"], 1, 1)
-    out = jax.nn.relu(out)  # act_q is realized by the NEXT conv's quantize
+    """INT8 forward shadowing the 'ours' QAT graph value-for-value."""
+    # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
+    h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
+    codes = _erfq_codes(h)
+    out = jax.nn.relu(codes.astype(jnp.float32) * ACT_SCALE)
+    in_scale = ACT_SCALE  # layer 0 consumes the stem output directly
+
     for blk in qparams["layers"]:
         stride = 2 if "skip" in blk else 1
+        # layer 0: values are exact multiples of ACT_SCALE -> lossless;
+        # later layers: one bounded requantization of the residual sum
+        x8 = _linear_q(out, in_scale)
         if "skip" in blk:
-            shortcut = _int8_conv(_quant(out), blk["skip"], stride, 0)
+            # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
+            sc_h = _int8_conv(x8, blk["skip"], stride, 0)
+            shortcut = _erfq_codes(sc_h).astype(jnp.float32) * ACT_SCALE
         else:
             shortcut = out
-        h = _int8_conv(_quant(out), blk["conv0"], stride, 1)
-        h = jax.nn.relu(h)
-        h = _int8_conv(_quant(h), blk["conv1"], 1, 1)
-        out = jax.nn.relu(h + shortcut)
+
+        h0 = _int8_conv(x8, blk["conv0"], stride, 1)
+        a0 = _erfq_codes(h0)  # act_q0
+        r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
+        h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
+        a1 = _erfq_codes(h1).astype(jnp.float32) * ACT_SCALE  # act_q1
+        out = jax.nn.relu(a1 + shortcut)
+        in_scale = S_RES  # subsequent blocks consume residual sums
+
     feat = jnp.mean(out, axis=(1, 2))
     return feat @ qparams["logit"]["kernel"] + qparams["logit"]["bias"]
 

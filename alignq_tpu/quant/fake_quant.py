@@ -43,8 +43,13 @@ class WeightQuantResult(NamedTuple):
     pdf: jax.Array
 
 
-def quantize_weight(w: jax.Array, w_bit: int, *, variant: str = "b") -> WeightQuantResult:
-    """CDF-alignment fake-quantize a weight tensor (per-tensor statistics)."""
+def quantize_weight(
+    w: jax.Array, w_bit: int, *, variant: str = "b", grid_n: int | None = None
+) -> WeightQuantResult:
+    """CDF-alignment fake-quantize a weight tensor (per-tensor statistics).
+
+    grid_n: override the rounding grid (e.g. 127 = symmetric-int8 deploy
+    grid) — see quant/ste.py."""
     if w_bit == 32:
         return WeightQuantResult(w, w, w)
     # NOTE: the reference differentiates *through* the CDF transform —
@@ -55,10 +60,16 @@ def quantize_weight(w: jax.Array, w_bit: int, *, variant: str = "b") -> WeightQu
     mean, std = tensor_stats(w)
     if variant == "a":
         c, pdf = cdf_transform(w, mean, std, affine=False)
-        wq = uniform_quantize(c, w_bit) * 2.0 - 1.0
+        wq = uniform_quantize(c, w_bit, grid_n) * 2.0 - 1.0
     elif variant == "b":
         c, pdf = cdf_transform(w, mean, std, affine=True)
-        wq = uniform_quantize(c, w_bit)
+        wq = uniform_quantize(c, w_bit, grid_n)
+    elif variant == "int8":
+        # deployment-exact symmetric grid: round(c * (2^{k-1}-1)) — trains
+        # on precisely the values the INT inference path can represent
+        # (kernels/convert.py), eliminating the train/deploy grid gap
+        c, pdf = cdf_transform(w, mean, std, affine=True)
+        wq = uniform_quantize(c, w_bit, 2 ** (w_bit - 1) - 1)
     else:
         raise ValueError(f"unknown quantizer variant {variant!r}")
     return WeightQuantResult(wq, c, pdf)
@@ -70,6 +81,7 @@ def quantize_act(
     *,
     act_range: float = 2.0,
     variant: str = "b",
+    grid_n: int | None = None,
 ) -> jax.Array:
     """CDF-alignment fake-quantize activations against a fixed N(0,1) prior.
 
@@ -82,10 +94,16 @@ def quantize_act(
         return a
     if variant == "a":
         c, _ = cdf_transform(a, 0.0, 1.0, affine=False)
-        return (uniform_quantize(c, a_bit) * 2.0 - 1.0) * act_range
+        return (uniform_quantize(c, a_bit, grid_n) * 2.0 - 1.0) * act_range
     elif variant == "b":
         c, _ = cdf_transform(a, 0.0, 1.0, affine=True, act_range=act_range)
-        return uniform_quantize(c, a_bit)
+        return uniform_quantize(c, a_bit, grid_n)
+    elif variant == "int8":
+        # act_range scaled OUTSIDE the rounding: value = act_range*code/127
+        # with code = round((2*Phi-1) * 127) — the int8 act-site codes of
+        # kernels/infer.py exactly
+        c, _ = cdf_transform(a, 0.0, 1.0, affine=True)
+        return uniform_quantize(c, a_bit, 2 ** (a_bit - 1) - 1) * act_range
     raise ValueError(f"unknown quantizer variant {variant!r}")
 
 
@@ -98,6 +116,6 @@ def act_cdf(a: jax.Array, *, act_range: float = 2.0, variant: str = "b") -> jax.
     """
     if variant == "a":
         c, _ = cdf_transform(a, 0.0, 1.0, affine=False)
-    else:
+    else:  # 'b' and 'int8' share the affine-scaled corr input
         c, _ = cdf_transform(a, 0.0, 1.0, affine=True, act_range=act_range)
     return c

@@ -27,16 +27,20 @@ def sign_ste(x: jax.Array) -> jax.Array:
     return x + jax.lax.stop_gradient(jnp.sign(x) - x)
 
 
-def uniform_quantize(x: jax.Array, k: int) -> jax.Array:
+def uniform_quantize(x: jax.Array, k: int, n: int | None = None) -> jax.Array:
     """k-bit uniform fake quantization with STE backward.
 
     Matches reference quantization.py:19-31: the rounding grid has
     n = 2^k - 1 steps over a unit interval; k is a static Python int so the
     branch resolves at trace time (no dynamic control flow under jit).
+
+    n overrides the grid step count — e.g. n=127 trains on the exact
+    symmetric-int8 deployment grid (the reference's n=255 over [-1,1] needs
+    9 bits; SURVEY.md section 2.4.6), removing the train/deploy grid gap.
     """
     if k == 32:
         return x
     if k == 1:
         return sign_ste(x)
-    n = float(2**k - 1)
+    n = float(n if n is not None else 2**k - 1)
     return round_ste(x * n) / n

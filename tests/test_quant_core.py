@@ -139,3 +139,31 @@ class TestActQuant:
     def test_32bit_identity(self):
         a = jnp.arange(8.0)
         assert (quantize_act(a, 32) == a).all()
+
+
+class TestInt8Variant:
+    """The deployment-exact grid variant (train == deploy representable set)."""
+
+    def test_weight_codes_are_int8(self):
+        w = jnp.asarray(np.random.RandomState(11).randn(3, 3, 8, 8).astype(np.float32))
+        wq = quantize_weight(w, 8, variant="int8").wq
+        codes = np.asarray(wq) * 127.0
+        np.testing.assert_allclose(codes, np.round(codes), atol=1e-4)
+        assert np.abs(codes).max() <= 127.0 + 1e-4
+
+    def test_act_codes_match_deployment(self):
+        from scipy import stats as sps
+
+        a = np.random.RandomState(12).randn(512).astype(np.float32)
+        aq = np.asarray(quantize_act(jnp.asarray(a), 8, act_range=2.0, variant="int8"))
+        # deployment: value = act_range * round((2*Phi-1)*127)/127
+        want = 2.0 * np.round((2 * sps.norm.cdf(a) - 1) * 127) / 127
+        np.testing.assert_allclose(aq, want, atol=1e-5)
+
+    def test_int8_variant_matches_infer_codes(self):
+        from alignq_tpu.kernels.infer import ACT_SCALE, _erfq_codes
+
+        h = jnp.asarray(np.random.RandomState(13).randn(64).astype(np.float32))
+        fake = np.asarray(quantize_act(h, 8, act_range=2.0, variant="int8"))
+        codes = np.asarray(_erfq_codes(h)).astype(np.float32)
+        np.testing.assert_allclose(fake, codes * ACT_SCALE, atol=1e-5)

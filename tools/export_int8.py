@@ -1,0 +1,85 @@
+"""Train -> freeze -> INT8 export -> accuracy delta.
+
+Closes the QAT-to-deployment loop: trains ResNet-20 (CDF QAT), folds the
+trained params+BN stats into the INT8 inference graph
+(alignq_tpu/kernels/convert.py), and reports top-1 for the fake-quant eval
+path vs the true-INT8 path on the same test set — the deployment-accuracy
+delta the reference never measures (it is fake-quant only).
+
+    python tools/export_int8.py [--dataset synthetic] [--epochs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data_dir", default="/root/data")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--job_dir", default="/tmp/alignq_export")
+    p.add_argument(
+        "--variant", default="int8",
+        help="quantizer variant: 'int8' trains on the exact deployment grid; "
+             "'b' is the reference grid (255 levels, +1 effective bit)",
+    )
+    a = p.parse_args()
+
+    from alignq_tpu.data.registry import get_data
+    from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+    from alignq_tpu.models import resnet20_quant
+    from alignq_tpu.train import TrainConfig, make_eval_step
+    from alignq_tpu.train.loop import fit
+
+    cfg = TrainConfig(
+        target_model="resnet20_quant", method="ours", bitW=8, abitW=8,
+        variant=a.variant, dataset=a.dataset, data_dir=a.data_dir,
+        num_epochs=a.epochs, train_batch_size=a.batch,
+        eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
+    )
+    data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
+                    cfg.eval_batch_size, cfg.seed)
+    model = resnet20_quant(bitW=8, abitW=8, method="ours", variant=a.variant)
+    result = fit(cfg, data, model=model)
+    state = result["state"]
+    print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
+
+    qparams = convert_resnet20(state.params, state.batch_stats)
+    int8_fwd = jax.jit(resnet20_int8_forward)
+
+    correct = total = 0
+    agree = 0
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    fq_correct = 0
+    for xb, yb in data.loader_test:
+        x = jnp.asarray(xb)
+        y = np.asarray(yb)
+        pred_i8 = np.argmax(np.asarray(int8_fwd(qparams, x)), -1)
+        logits_fq = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        pred_fq = np.argmax(np.asarray(logits_fq), -1)
+        correct += int((pred_i8 == y).sum())
+        fq_correct += int((pred_fq == y).sum())
+        agree += int((pred_i8 == pred_fq).sum())
+        total += len(y)
+
+    print(f"INT8 top1: {100*correct/total:.2f}  fake-quant top1: "
+          f"{100*fq_correct/total:.2f}  prediction agreement: "
+          f"{100*agree/total:.2f}%")
+    delta = 100 * (fq_correct - correct) / total
+    print(f"deployment accuracy delta (fake-quant - int8): {delta:+.2f} pts")
+
+
+if __name__ == "__main__":
+    main()
