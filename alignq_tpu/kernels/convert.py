@@ -27,17 +27,28 @@ from alignq_tpu.quant.cdf import gaussian_cdf, tensor_stats
 W_SCALE = 1.0 / 127.0
 
 
+def grid_max(bits: int) -> int:
+    """Symmetric code bound: 127 for int8, 7 for int4 (2^{b-1}-1)."""
+    return 2 ** (bits - 1) - 1
+
+
 class QConvInt8(NamedTuple):
-    kernel_int8: jax.Array  # HWIO int8
+    kernel_int8: jax.Array  # HWIO integer codes (int8 storage, any bit width)
     scale: jax.Array  # (Cout,) fused dequant * BN scale
     bias: jax.Array  # (Cout,) fused BN shift
 
 
-def quantize_weight_int8(w: jax.Array) -> jax.Array:
-    """CDF-align then symmetric int8 (per-tensor stats, like the reference)."""
+def quantize_weight_int8(w: jax.Array, bits: int = 8) -> jax.Array:
+    """CDF-align then symmetric integer codes (per-tensor stats).
+
+    bits < 8 (e.g. INT4) emits codes in [-(2^{b-1}-1), 2^{b-1}-1] stored as
+    int8 — the MXU computes at int8 rate either way on v5e (no native int4
+    compute; jnp.int4 currently fails to compile on this backend), so
+    sub-8-bit buys model-memory footprint via packing, not extra FLOPs."""
     mean, std = tensor_stats(w)
     c = 2.0 * gaussian_cdf(w, mean, std) - 1.0
-    return jnp.clip(jnp.round(c * 127.0), -127.0, 127.0).astype(jnp.int8)
+    g = float(grid_max(bits))
+    return jnp.clip(jnp.round(c * g), -g, g).astype(jnp.int8)
 
 
 def fold_conv_bn(
@@ -48,10 +59,11 @@ def fold_conv_bn(
     bn_var: jax.Array,
     act_scale: float,
     eps: float = 1e-5,
+    bits: int = 8,
 ) -> QConvInt8:
-    """Freeze one conv+bn pair into (int8 kernel, per-channel scale/bias)."""
-    k_int8 = quantize_weight_int8(kernel)
+    """Freeze one conv+bn pair into (integer kernel, per-channel scale/bias)."""
+    k_int8 = quantize_weight_int8(kernel, bits)
     inv = bn_scale / jnp.sqrt(bn_var + eps)
-    scale = act_scale * W_SCALE * inv
+    scale = act_scale * (1.0 / grid_max(bits)) * inv
     bias = bn_bias - bn_mean * inv
     return QConvInt8(k_int8, scale.astype(jnp.float32), bias.astype(jnp.float32))

@@ -38,17 +38,26 @@ from alignq_tpu.kernels.convert import QConvInt8, fold_conv_bn
 
 _SQRT2 = math.sqrt(2.0)
 
+# 8-bit defaults; the general W{b}A{b} grids come from convert.grid_max
 ACT_SCALE = 2.0 / 127.0  # act_range=2 over the symmetric 127 grid
 S_RES = 4.0 / 127.0  # residual-sum requantization scale (range [0, 4])
 S_IMG = 3.0 / 127.0  # normalized-image scale (CIFAR norm ~ [-2.5, 2.7])
 
 
-def _erfq_codes(h: jax.Array) -> jax.Array:
-    """Act-site quantization codes: round(erf(h/sqrt2) * 127) in int8.
+def _act_g(act_bits: int) -> float:
+    from alignq_tpu.kernels.convert import grid_max
+
+    return float(grid_max(act_bits))
+
+
+def _erfq_codes(h: jax.Array, act_bits: int = 8) -> jax.Array:
+    """Act-site quantization codes: round(erf(h/sqrt2) * g) in int8 storage
+    (g = 127 for A8, 7 for A4).
 
     Elementwise — XLA fuses it into the preceding conv's epilogue."""
+    g = _act_g(act_bits)
     c = jax.lax.erf(h / _SQRT2)
-    return jnp.clip(jnp.round(c * 127.0), -127.0, 127.0).astype(jnp.int8)
+    return jnp.clip(jnp.round(c * g), -g, g).astype(jnp.int8)
 
 
 def _linear_q(x: jax.Array, scale: float) -> jax.Array:
@@ -67,12 +76,20 @@ def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 
     return acc.astype(jnp.float32) * q.scale + q.bias
 
 
-def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dict[str, Any]:
-    """Fold every conv+bn pair of the trained PreActResNet-20 into int8 form.
+def convert_resnet20(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    weight_bits: int = 8,
+    act_bits: int = 8,
+) -> Dict[str, Any]:
+    """Fold every conv+bn pair of the trained PreActResNet-20 into integer
+    form (W{weight_bits}A{act_bits}; codes stored int8).
 
     Each conv's epilogue scale folds ITS OWN input scale: stem S_IMG, block
-    conv0/skip S_RES, conv1 ACT_SCALE."""
+    conv0/skip S_RES, conv1 the act grid scale."""
     out: Dict[str, Any] = {}
+    act_scale_a = 2.0 / _act_g(act_bits)
+    s_res = 4.0 / _act_g(act_bits)
 
     def fold(conv_path, bn_path, act_scale):
         k = params
@@ -84,7 +101,7 @@ def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dic
             bns = bns[p]
         return fold_conv_bn(
             k["kernel"], bnp["scale"], bnp["bias"], bns["mean"], bns["var"],
-            act_scale=act_scale,
+            act_scale=act_scale, bits=weight_bits,
         )
 
     out["conv0"] = fold(("conv0",), ("bn",), S_IMG)
@@ -94,12 +111,12 @@ def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dic
     )
     out["layers"] = []
     for i, name in enumerate(layers):
-        # conv0/skip consume: stem output (layer 0: relu(codes)*ACT_SCALE,
-        # range [0,2]) or residual sums (range [0,4]); S_RES covers both
-        in_scale = ACT_SCALE if i == 0 else S_RES
+        # conv0/skip consume: stem output (layer 0: relu(codes)*act_scale,
+        # range [0,2]) or residual sums (range [0,4])
+        in_scale = act_scale_a if i == 0 else s_res
         blk = {
             "conv0": fold((name, "conv0"), (name, "bn0"), in_scale),
-            "conv1": fold((name, "conv1"), (name, "bn1"), ACT_SCALE),
+            "conv1": fold((name, "conv1"), (name, "bn1"), act_scale_a),
         }
         if "skip_conv" in params[name]:
             blk["skip"] = fold((name, "skip_conv"), (name, "skip_bn"), in_scale)
@@ -111,33 +128,39 @@ def convert_resnet20(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dic
     return out
 
 
-def resnet20_int8_forward(qparams: Dict[str, Any], x: jax.Array) -> jax.Array:
-    """INT8 forward shadowing the 'ours' QAT graph value-for-value."""
+def resnet20_int8_forward(
+    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
+) -> jax.Array:
+    """INT forward shadowing the 'ours' QAT graph value-for-value.
+
+    act_bits is static; pass the same value used in convert_resnet20."""
+    act_scale = 2.0 / _act_g(act_bits)
+    s_res = 4.0 / _act_g(act_bits)
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
-    codes = _erfq_codes(h)
-    out = jax.nn.relu(codes.astype(jnp.float32) * ACT_SCALE)
-    in_scale = ACT_SCALE  # layer 0 consumes the stem output directly
+    codes = _erfq_codes(h, act_bits)
+    out = jax.nn.relu(codes.astype(jnp.float32) * act_scale)
+    in_scale = act_scale  # layer 0 consumes the stem output directly
 
     for blk in qparams["layers"]:
         stride = 2 if "skip" in blk else 1
-        # layer 0: values are exact multiples of ACT_SCALE -> lossless;
+        # layer 0: values are exact multiples of act_scale -> lossless;
         # later layers: one bounded requantization of the residual sum
         x8 = _linear_q(out, in_scale)
         if "skip" in blk:
             # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
             sc_h = _int8_conv(x8, blk["skip"], stride, 0)
-            shortcut = _erfq_codes(sc_h).astype(jnp.float32) * ACT_SCALE
+            shortcut = _erfq_codes(sc_h, act_bits).astype(jnp.float32) * act_scale
         else:
             shortcut = out
 
         h0 = _int8_conv(x8, blk["conv0"], stride, 1)
-        a0 = _erfq_codes(h0)  # act_q0
+        a0 = _erfq_codes(h0, act_bits)  # act_q0
         r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
-        a1 = _erfq_codes(h1).astype(jnp.float32) * ACT_SCALE  # act_q1
+        a1 = _erfq_codes(h1, act_bits).astype(jnp.float32) * act_scale  # act_q1
         out = jax.nn.relu(a1 + shortcut)
-        in_scale = S_RES  # subsequent blocks consume residual sums
+        in_scale = s_res  # subsequent blocks consume residual sums
 
     feat = jnp.mean(out, axis=(1, 2))
     return feat @ qparams["logit"]["kernel"] + qparams["logit"]["bias"]

@@ -46,6 +46,9 @@ class TrainConfig:
     # cross-device corr mode: 'local' (per-shard block-diag, default) or
     # 'gather' (exact global-batch matrix via all_gather) — SURVEY.md section 5
     corr_mode: str = "local"
+    # DP gradient all-reduce wire format: 'f32' | 'bf16' | 'int8_gather'
+    # (dist/collectives.py)
+    grad_compression: str = "f32"
 
     # data
     dataset: str = "cifar10"

@@ -79,7 +79,21 @@ def fit(
         for i, (xb, yb) in enumerate(data.loader_train, 1):
             state, metrics = train_step(state, jnp.asarray(xb), jnp.asarray(yb))
             total_steps += 1
-            loss_m.update(float(metrics["loss"]), len(yb))
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # failure detection (reference has none — SURVEY.md section
+                # 5): stop instead of training on garbage; the last good
+                # checkpoint supports --resume
+                logger.error(
+                    f"non-finite loss at epoch {epoch} step {i} — aborting "
+                    f"(resume from the last checkpoint with resume=True)"
+                )
+                ckpt.wait()
+                return {
+                    "best_top1": best["top1"], "best_top5": best["top5"],
+                    "state": state, "aborted": "non_finite_loss",
+                }
+            loss_m.update(loss_val, len(yb))
             acc_m.update(float(metrics["accuracy"]) * 100, len(yb))
             if i % cfg.print_freq == 0:
                 logger.info(

@@ -79,7 +79,9 @@ def make_train_step(
             dropout_rng,
         )
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
+            from alignq_tpu.dist.collectives import compressed_tree_pmean
+
+            grads = compressed_tree_pmean(grads, axis_name, cfg.grad_compression)
             new_bs = jax.lax.pmean(new_bs, axis_name)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         if use_admm:

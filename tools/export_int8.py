@@ -27,6 +27,7 @@ def main():
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--job_dir", default="/tmp/alignq_export")
+    p.add_argument("--bits", type=int, default=8, help="W/A bit width (8 or 4)")
     p.add_argument(
         "--variant", default="int8",
         help="quantizer variant: 'int8' trains on the exact deployment grid; "
@@ -41,20 +42,27 @@ def main():
     from alignq_tpu.train.loop import fit
 
     cfg = TrainConfig(
-        target_model="resnet20_quant", method="ours", bitW=8, abitW=8,
-        variant=a.variant, dataset=a.dataset, data_dir=a.data_dir,
-        num_epochs=a.epochs, train_batch_size=a.batch,
+        target_model="resnet20_quant", method="ours", bitW=a.bits,
+        abitW=a.bits, variant=a.variant, dataset=a.dataset,
+        data_dir=a.data_dir, num_epochs=a.epochs, train_batch_size=a.batch,
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
     )
     data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
                     cfg.eval_batch_size, cfg.seed)
-    model = resnet20_quant(bitW=8, abitW=8, method="ours", variant=a.variant)
+    model = resnet20_quant(bitW=a.bits, abitW=a.bits, method="ours",
+                           variant=a.variant)
     result = fit(cfg, data, model=model)
     state = result["state"]
     print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
 
-    qparams = convert_resnet20(state.params, state.batch_stats)
-    int8_fwd = jax.jit(resnet20_int8_forward)
+    qparams = convert_resnet20(
+        state.params, state.batch_stats, weight_bits=a.bits, act_bits=a.bits
+    )
+    import functools
+
+    int8_fwd = jax.jit(
+        functools.partial(resnet20_int8_forward, act_bits=a.bits)
+    )
 
     correct = total = 0
     agree = 0
