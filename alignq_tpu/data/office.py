@@ -20,7 +20,7 @@ from typing import Tuple
 import numpy as np
 
 from alignq_tpu.data.datasets import synthetic
-from alignq_tpu.data.loader import ArrayLoader, Data
+from alignq_tpu.data.loader import ArrayLoader
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)

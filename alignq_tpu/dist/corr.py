@@ -13,8 +13,8 @@ computation. Under data parallelism there are two semantics:
 - 'local' (block-diagonal approximation): each shard computes its own
   B_local x B_local matrix over its sub-batch; zero communication for the
   corr path (gradients still psum). Duals get a leading device axis
-  (n_data, B_local, B_local) sharded over 'data' —每 shard anneals its own
-  duals. This trades an O(B^2) coupling for embarrassing parallelism; the
+  (n_data, B_local, B_local) sharded over 'data' — each shard anneals its
+  own duals. This trades an O(B^2) coupling for embarrassing parallelism; the
   train-state shape difference is explicit so checkpoints are
   self-describing.
 
@@ -29,7 +29,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from alignq_tpu.admm.state import ADMMSiteState, init_site
 from alignq_tpu.train.config import TrainConfig

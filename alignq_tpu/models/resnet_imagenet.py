@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from alignq_tpu.nn.layers import BatchNorm, QConv, QDense, QuantAct
+from alignq_tpu.nn.layers import BatchNorm, QConv, QuantAct
 
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 

@@ -10,7 +10,7 @@ survives restarts (SURVEY.md section 5 checkpoint entry).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -20,7 +20,6 @@ from alignq_tpu.train.state import TrainState
 
 class CheckpointManager:
     def __init__(self, job_dir: str, max_to_keep: int = 3):
-        path = ocp.test_utils.erase_and_create_empty if False else None  # noqa
         self.dir = os.path.abspath(os.path.join(job_dir, "checkpoint"))
         os.makedirs(self.dir, exist_ok=True)
         options = ocp.CheckpointManagerOptions(

@@ -24,7 +24,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from alignq_tpu.admm.lmmd import lmmd
@@ -270,7 +269,6 @@ def fit_dsan(
     import math
 
     from alignq_tpu.train.state import create_train_state
-    from alignq_tpu.train.steps import cross_entropy_loss as _ce  # noqa: F401
 
     logger = get_logger(f"{cfg.job_dir}/logger.log")
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
