@@ -131,3 +131,31 @@ class TestLocalCorrMode:
         d = state.admm_duals[name]
         # each shard annealed its own duals from its own D
         assert not np.allclose(np.asarray(d.alter_d[0]), np.asarray(d.alter_d[1]))
+
+
+class TestTPInt8Inference:
+    def test_weight_sharded_int8_matches_replicated(self):
+        """Weight-sharded (TP) + batch-sharded (DP) INT8 inference produces
+        bit-identical results to the replicated run — the north-star
+        'weight-sharded batched inference' path (BASELINE.json)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from jax.sharding import NamedSharding
+
+        from alignq_tpu.kernels.infer import build_resnet20_int8
+
+        mesh = make_mesh((2, 4), ("data", "model"))
+        fwd, (qparams, x) = build_resnet20_int8(16)
+        ref = np.asarray(fwd(qparams, x))
+
+        def shard_q(path, leaf):
+            if getattr(leaf, "ndim", 0) == 4 and leaf.shape[-1] % 4 == 0:
+                return jax.device_put(
+                    leaf, NamedSharding(mesh, P(None, None, None, "model"))
+                )
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+        qp = jax.tree_util.tree_map_with_path(shard_q, qparams)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = np.asarray(fwd(qp, xs))
+        np.testing.assert_allclose(out, ref, atol=1e-4)

@@ -108,3 +108,37 @@ class TestInt8ResNet:
         out = fwd(*args)
         assert out.shape == (4, 10)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestInt8MobileNet:
+    def test_mobilenet_int8_agrees_with_fake_quant(self):
+        from alignq_tpu.kernels.infer_mobilenet import (
+            convert_mobilenetv2,
+            mobilenetv2_int8_forward,
+        )
+        from alignq_tpu.models import mobile_v2
+
+        model = mobile_v2(8, 8, "ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        fq = np.asarray(model.apply(variables, x, train=False))
+        qp = convert_mobilenetv2(variables["params"], variables["batch_stats"])
+        i8 = np.asarray(mobilenetv2_int8_forward(qp, x))
+        assert np.isfinite(i8).all()
+        assert (fq.argmax(-1) == i8.argmax(-1)).mean() >= 0.75
+
+    def test_mobilenet_block_structure(self):
+        from alignq_tpu.kernels.infer_mobilenet import convert_mobilenetv2
+        from alignq_tpu.models import mobile_v2
+
+        model = mobile_v2(8, 8, "ours")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        qp = convert_mobilenetv2(variables["params"], variables["batch_stats"])
+        assert len(qp["blocks"]) == 17
+        # stride-2 blocks (first of stages 3/4/6) have no shortcut
+        strides = [s for (e, o, n, st) in
+                   [(1,16,1,1),(6,24,2,1),(6,32,3,2),(6,64,4,2),(6,96,3,1),(6,160,3,2),(6,320,1,1)]
+                   for s in [st] + [1]*(n-1)]
+        for blk, s in zip(qp["blocks"], strides):
+            assert ("shortcut" in blk) == (s == 1)

@@ -28,6 +28,7 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--job_dir", default="/tmp/alignq_export")
     p.add_argument("--bits", type=int, default=8, help="W/A bit width (8 or 4)")
+    p.add_argument("--model", default="resnet20", choices=["resnet20", "mobilenetv2"])
     p.add_argument(
         "--variant", default="int8",
         help="quantizer variant: 'int8' trains on the exact deployment grid; "
@@ -37,32 +38,42 @@ def main():
 
     from alignq_tpu.data.registry import get_data
     from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
-    from alignq_tpu.models import resnet20_quant
+    from alignq_tpu.kernels.infer_mobilenet import (
+        convert_mobilenetv2,
+        mobilenetv2_int8_forward,
+    )
+    from alignq_tpu.models import mobile_v2, resnet20_quant
     from alignq_tpu.train import TrainConfig, make_eval_step
     from alignq_tpu.train.loop import fit
 
+    builders = {
+        "resnet20": (resnet20_quant, convert_resnet20, resnet20_int8_forward,
+                     "resnet20_quant", ("conv0",)),
+        "mobilenetv2": (mobile_v2, convert_mobilenetv2,
+                        mobilenetv2_int8_forward, "mobile_v2", ()),
+    }
+    build, convert, int_forward, target, excl = builders[a.model]
+
     cfg = TrainConfig(
-        target_model="resnet20_quant", method="ours", bitW=a.bits,
+        target_model=target, method="ours", bitW=a.bits,
         abitW=a.bits, variant=a.variant, dataset=a.dataset,
         data_dir=a.data_dir, num_epochs=a.epochs, train_batch_size=a.batch,
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
+        correction_exclude=excl,
     )
     data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
                     cfg.eval_batch_size, cfg.seed)
-    model = resnet20_quant(bitW=a.bits, abitW=a.bits, method="ours",
-                           variant=a.variant)
+    model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant)
     result = fit(cfg, data, model=model)
     state = result["state"]
     print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
 
-    qparams = convert_resnet20(
+    qparams = convert(
         state.params, state.batch_stats, weight_bits=a.bits, act_bits=a.bits
     )
     import functools
 
-    int8_fwd = jax.jit(
-        functools.partial(resnet20_int8_forward, act_bits=a.bits)
-    )
+    int8_fwd = jax.jit(functools.partial(int_forward, act_bits=a.bits))
 
     correct = total = 0
     agree = 0
