@@ -76,14 +76,15 @@ def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 
     return acc.astype(jnp.float32) * q.scale + q.bias
 
 
-def convert_resnet20(
+def convert_preact_resnet(
     params: Dict[str, Any],
     batch_stats: Dict[str, Any],
     weight_bits: int = 8,
     act_bits: int = 8,
 ) -> Dict[str, Any]:
-    """Fold every conv+bn pair of the trained PreActResNet-20 into integer
-    form (W{weight_bits}A{act_bits}; codes stored int8).
+    """Fold every conv+bn pair of a trained PreActResNet (20 OR 56 — the
+    converter walks `layers_*` structurally) into integer form
+    (W{weight_bits}A{act_bits}; codes stored int8).
 
     Each conv's epilogue scale folds ITS OWN input scale: stem S_IMG, block
     conv0/skip S_RES, conv1 the act grid scale."""
@@ -164,6 +165,10 @@ def resnet20_int8_forward(
 
     feat = jnp.mean(out, axis=(1, 2))
     return feat @ qparams["logit"]["kernel"] + qparams["logit"]["bias"]
+
+
+# back-compat alias; works for any PreActResNet depth
+convert_resnet20 = convert_preact_resnet
 
 
 def build_resnet20_int8(batch: int):
