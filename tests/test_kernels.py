@@ -142,3 +142,25 @@ class TestInt8MobileNet:
                    for s in [st] + [1]*(n-1)]
         for blk, s in zip(qp["blocks"], strides):
             assert ("shortcut" in blk) == (s == 1)
+
+
+class TestInt8DenseNet:
+    def test_densenet_int8_tracks_fake_quant(self):
+        """Pre-activation structure -> every conv input is exact act codes;
+        the int8 graph should track fake-quant almost exactly."""
+        from alignq_tpu.kernels.infer_densenet import (
+            convert_densenet40,
+            densenet40_int8_forward,
+        )
+        from alignq_tpu.models import densenet_40_quant
+
+        model = densenet_40_quant(8, 8, "ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        fq = np.asarray(model.apply(variables, x, train=False))
+        qp = convert_densenet40(variables["params"], variables["batch_stats"])
+        i8 = np.asarray(densenet40_int8_forward(qp, x))
+        assert np.isfinite(i8).all()
+        assert (fq.argmax(-1) == i8.argmax(-1)).all()
+        # only the stem image quantization separates the two graphs
+        np.testing.assert_allclose(i8, fq, atol=0.2)
