@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax.numpy as jnp
 import optax
 
 
@@ -18,13 +19,24 @@ def multistep_schedule(
     milestones_epochs: Sequence[int],
     gamma: float,
     steps_per_epoch: int,
+    warmup_epochs: float = 0.0,
 ) -> optax.Schedule:
-    """MultiStepLR in units of train steps (milestones given in epochs)."""
+    """MultiStepLR in units of train steps (milestones given in epochs).
+
+    warmup_epochs > 0 adds a linear LR warmup — not in the reference (which
+    warm-starts every hard config from a pretrained checkpoint instead,
+    e.g. mobilenet main.py --pretrained); needed for from-scratch training
+    of MobileNetV2-class models, which diverge at the reference lr=0.04
+    cold (measured, ARCHITECTURE.md sweep table)."""
     boundaries = {int(e) * steps_per_epoch: gamma for e in milestones_epochs}
     piecewise = optax.piecewise_constant_schedule(1.0, boundaries)
+    warmup_steps = warmup_epochs * steps_per_epoch
 
     def schedule(step):
-        return base_lr * piecewise(step)
+        lr = base_lr * piecewise(step)
+        if warmup_steps > 0:
+            lr = lr * jnp.minimum(1.0, (step + 1) / warmup_steps)
+        return lr
 
     return schedule
 

@@ -33,6 +33,7 @@ class TrainConfig:
     eval_batch_size: int = 100
     lr_decay_steps: Sequence[int] = (80, 120)
     lr_gamma: float = 0.1
+    warmup_epochs: float = 0.0  # linear LR warmup (not in reference; see schedules.py)
     lam: float = 1.0
     lam2: float = 4.0
 

@@ -92,7 +92,8 @@ def create_train_state(
             admm_duals[name] = init_site(key, cfg.train_batch_size)
 
     schedule = multistep_schedule(
-        cfg.lr, cfg.lr_decay_steps, cfg.lr_gamma, steps_per_epoch
+        cfg.lr, cfg.lr_decay_steps, cfg.lr_gamma, steps_per_epoch,
+        warmup_epochs=cfg.warmup_epochs,
     )
     mask = build_correction_mask(params, exclude=tuple(cfg.correction_exclude))
     tx = alignq_sgd(

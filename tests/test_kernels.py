@@ -164,3 +164,23 @@ class TestInt8DenseNet:
         assert (fq.argmax(-1) == i8.argmax(-1)).all()
         # only the stem image quantization separates the two graphs
         np.testing.assert_allclose(i8, fq, atol=0.2)
+
+
+class TestInt8ResNetImageNet:
+    def test_resnet18_feature_graph(self):
+        from alignq_tpu.kernels.infer_resnet_imagenet import (
+            convert_resnet_imagenet,
+            resnet_imagenet_int8_forward,
+        )
+        from alignq_tpu.models import resnet18_quant
+
+        model = resnet18_quant(8, 8, "ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        fq = np.asarray(model.apply(variables, x, train=False))
+        qp = convert_resnet_imagenet(variables["params"], variables["batch_stats"])
+        i8 = np.asarray(resnet_imagenet_int8_forward(qp, x))
+        assert i8.shape == (2, 512)
+        assert np.isfinite(i8).all()
+        corr = np.corrcoef(fq.ravel(), i8.ravel())[0, 1]
+        assert corr > 0.95  # dynamic residual scales track the f32 identity path
