@@ -184,3 +184,26 @@ class TestInt8ResNetImageNet:
         assert np.isfinite(i8).all()
         corr = np.corrcoef(fq.ravel(), i8.ravel())[0, 1]
         assert corr > 0.95  # dynamic residual scales track the f32 identity path
+
+
+class TestInt8Artifact:
+    def test_save_load_roundtrip(self, tmp_path):
+        from alignq_tpu.kernels.artifact import load_int8_artifact, save_int8_artifact
+        from alignq_tpu.kernels.infer import (
+            convert_preact_resnet,
+            resnet20_int8_forward,
+        )
+        from alignq_tpu.models import resnet20_quant
+
+        model = resnet20_quant(8, 8, "ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        qp = convert_preact_resnet(variables["params"], variables["batch_stats"])
+        want = np.asarray(resnet20_int8_forward(qp, x))
+
+        path = str(tmp_path / "model_int8.npz")
+        save_int8_artifact(path, qp, meta={"act_bits": 8})
+        qp2, meta = load_int8_artifact(path, qp)
+        assert int(meta["act_bits"]) == 8
+        got = np.asarray(resnet20_int8_forward(qp2, x))
+        np.testing.assert_array_equal(got, want)
