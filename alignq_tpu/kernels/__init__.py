@@ -8,4 +8,8 @@ quantize -> int matmul/conv -> dequant fused on-chip.
 from alignq_tpu.kernels.quantize import cdf_quantize_int8
 from alignq_tpu.kernels.qmatmul import int8_matmul_dequant
 
+# converters / integer graphs (imported lazily by consumers to keep the
+# package import light): infer (PreAct ResNet), infer_mobilenet,
+# infer_densenet, infer_resnet_imagenet, convert, artifact
+
 __all__ = ["cdf_quantize_int8", "int8_matmul_dequant"]

@@ -47,21 +47,27 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--seed", type=int, default=defaults.seed)
     p.add_argument("--print_freq", type=int, default=defaults.print_freq)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--pretrained", default=None, metavar="JOB_DIR",
+        help="warm-start params from another run's checkpoint (partial "
+             "merge — reference --pretrained/--source_file, main.py:62-82)",
+    )
     p.add_argument("--max_steps", type=int, default=None, help="early stop for smoke runs")
     a = p.parse_args(argv)
     field_names = {f.name for f in dataclasses.fields(TrainConfig)}
     cfg = TrainConfig(
         **{k: v for k, v in vars(a).items() if k in field_names},
     )
-    return cfg, a.resume, a.max_steps
+    return cfg, a.resume, a.max_steps, a.pretrained
 
 
 def main(argv=None):
-    cfg, resume, max_steps = parse_args(argv)
+    cfg, resume, max_steps, pretrained = parse_args(argv)
     data = get_data(
         cfg.dataset, cfg.data_dir, cfg.train_batch_size, cfg.eval_batch_size, cfg.seed
     )
-    result = fit(cfg, data, resume=resume, max_steps=max_steps)
+    result = fit(cfg, data, resume=resume, max_steps=max_steps,
+                 pretrained_dir=pretrained)
     print(f"best_top1={result['best_top1']:.3f} best_top5={result['best_top5']:.3f}")
     return result
 

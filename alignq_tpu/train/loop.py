@@ -41,6 +41,7 @@ def fit(
     model=None,
     resume: bool = False,
     max_steps: Optional[int] = None,
+    pretrained_dir: Optional[str] = None,
 ) -> dict:
     """Train per config; returns {'best_top1', 'best_top5', 'state'}."""
     logger = get_logger(f"{cfg.job_dir}/logger.log")
@@ -61,6 +62,13 @@ def fit(
         f"model={cfg.target_model} method={cfg.method} W{cfg.bitW}A{cfg.abitW} "
         f"admm={cfg.admm} params={n_params:,} steps/epoch={steps_per_epoch}"
     )
+
+    if pretrained_dir:
+        # partial warm-start from another run (reference main.py:62-82);
+        # optimizer/duals stay fresh
+        from alignq_tpu.train.pretrained import load_pretrained
+
+        state = load_pretrained(state, pretrained_dir)
 
     ckpt = CheckpointManager(cfg.job_dir)
     start_epoch = 0

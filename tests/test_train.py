@@ -142,4 +142,3 @@ class TestFit:
         # cap the number of steps for speed
         result = fit(cfg, data, max_steps=5)
         assert "best_top1" in result
-        assert os.path.exists(os.path.join(str(tmp_path), "run", "train.jsonl")) or True
