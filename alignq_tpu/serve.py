@@ -96,7 +96,12 @@ class BatchedInferenceEngine:
                 x = np.concatenate(
                     [x, np.zeros((pad, *self.input_shape), x.dtype)], axis=0
                 )
-            out = np.asarray(self.forward(self.params, jnp.asarray(x)))
+            try:
+                out = np.asarray(self.forward(self.params, jnp.asarray(x)))
+            except Exception as e:  # propagate instead of hanging futures
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
             off = 0
             for images, fut in batch:
                 n = images.shape[0]
@@ -112,14 +117,21 @@ class Future:
     def __init__(self):
         self._ev = threading.Event()
         self._val: Optional[np.ndarray] = None
+        self._exc: Optional[BaseException] = None
 
     def set_result(self, val):
         self._val = val
         self._ev.set()
 
+    def set_exception(self, exc: BaseException):
+        self._exc = exc
+        self._ev.set()
+
     def result(self, timeout: float = 60.0) -> np.ndarray:
         if not self._ev.wait(timeout):
             raise TimeoutError("inference result not ready")
+        if self._exc is not None:
+            raise self._exc
         return self._val
 
 
