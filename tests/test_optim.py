@@ -120,3 +120,33 @@ class TestSchedules:
         assert np.isclose(sched(799), 0.04)
         assert np.isclose(sched(800), 0.004)
         assert np.isclose(sched(1200), 0.0004)
+
+
+class TestCompressionInfo:
+    def test_resnet20_rate(self):
+        import jax
+
+        from alignq_tpu.models import resnet20_quant
+        from alignq_tpu.utils.compression import compression_info
+
+        model = resnet20_quant(8, 8, "ours")
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        info = compression_info(variables["params"], w_bit=8)
+        assert info["num_conv_layers"] == 21  # stem + 18 block + 2 skip convs
+        # 8-bit over all-but-first conv: rate ~ 4x (reference main.py:203)
+        assert 3.9 < info["compression_rate"] < 4.2
+
+    def test_mixed_precision_bits_fn(self):
+        import jax
+
+        from alignq_tpu.models import resnet20_quant
+        from alignq_tpu.utils.compression import compression_info
+
+        model = resnet20_quant(8, 8, "ours")
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        info4 = compression_info(variables["params"], bits_fn=lambda p: 4)
+        assert info4["compression_rate"] > 7.5
