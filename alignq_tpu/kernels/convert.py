@@ -38,14 +38,19 @@ class QConvInt8(NamedTuple):
     bias: jax.Array  # (Cout,) fused BN shift
 
 
-def quantize_weight_int8(w: jax.Array, bits: int = 8) -> jax.Array:
+def quantize_weight_int8(w: jax.Array, bits: int = 8, channelwise: bool = False) -> jax.Array:
     """CDF-align then symmetric integer codes (per-tensor stats).
 
     bits < 8 (e.g. INT4) emits codes in [-(2^{b-1}-1), 2^{b-1}-1] stored as
     int8 — the MXU computes at int8 rate either way on v5e (no native int4
     compute; jnp.int4 currently fails to compile on this backend), so
     sub-8-bit buys model-memory footprint via packing, not extra FLOPs."""
-    mean, std = tensor_stats(w)
+    if channelwise:
+        from alignq_tpu.quant.cdf import channel_stats
+
+        mean, std = channel_stats(w)
+    else:
+        mean, std = tensor_stats(w)
     c = 2.0 * gaussian_cdf(w, mean, std) - 1.0
     g = float(grid_max(bits))
     return jnp.clip(jnp.round(c * g), -g, g).astype(jnp.int8)

@@ -77,6 +77,7 @@ class QConv(nn.Module):
     a_bit: int = 8  # only used by lsq/apot in-conv activation quant
     method: str = "ours"
     variant: str = "b"
+    channelwise: bool = False  # per-output-channel CDF stats (beyond reference)
     mxu_dtype: Any = None  # e.g. jnp.bfloat16 to force bf16 MXU operands
 
     @nn.compact
@@ -88,7 +89,10 @@ class QConv(nn.Module):
         )
 
         if self.method == "ours":
-            wq = quantize_weight(kernel, self.w_bit, variant=self.variant).wq
+            wq = quantize_weight(
+                kernel, self.w_bit, variant=self.variant,
+                channelwise=self.channelwise,
+            ).wq
         elif self.method == "uniform":
             wq = baselines.uniform_weight(kernel, self.w_bit)
         elif self.method == "uniform_admm":

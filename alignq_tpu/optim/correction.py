@@ -36,9 +36,19 @@ import optax
 from alignq_tpu.quant.cdf import cdf_transform, tensor_stats
 
 
-def correction_factor(w: jax.Array, w_bit: int, lam: float, lam2: float) -> jax.Array:
-    """sigma'(T(c)) * pdf(w) for a weight tensor (optimizer.py:234-236)."""
-    mean, std = tensor_stats(w)
+def correction_factor(
+    w: jax.Array, w_bit: int, lam: float, lam2: float, channelwise: bool = False
+) -> jax.Array:
+    """sigma'(T(c)) * pdf(w) for a weight tensor (optimizer.py:234-236).
+
+    channelwise must match the quantizer's stats mode so the correction
+    evaluates the same CDF the forward used."""
+    if channelwise:
+        from alignq_tpu.quant.cdf import channel_stats
+
+        mean, std = channel_stats(w)
+    else:
+        mean, std = tensor_stats(w)
     # weight_cdf as stored by the canonical variant-b quantizer
     # (cdf_alignment_admm/.../quantization.py:78): c = 2*Phi(w) - 1.
     c, pdf = cdf_transform(w, mean, std, affine=True)
@@ -58,6 +68,7 @@ def scale_by_alignq_correction(
     lam2: float = 4.0,
     mask: Any = None,
     apply_to_update: bool = True,
+    channelwise: bool = False,
 ) -> optax.GradientTransformation:
     """Multiply (masked) updates by the AlignQ analytic correction.
 
@@ -80,11 +91,12 @@ def scale_by_alignq_correction(
         def correct(u, w, flagged):
             if not flagged:
                 return u
-            return u * correction_factor(w, w_bit, lam, lam2)
+            return u * correction_factor(w, w_bit, lam, lam2, channelwise)
 
         if m is None:
             new_updates = jax.tree.map(
-                lambda u, w: u * correction_factor(w, w_bit, lam, lam2), updates, params
+                lambda u, w: u * correction_factor(w, w_bit, lam, lam2, channelwise),
+                updates, params,
             )
         else:
             new_updates = jax.tree.map(correct, updates, params, m)

@@ -26,6 +26,7 @@ def alignq_sgd(
     lam2: float = 4.0,
     correction_mask: Any = None,
     use_correction: bool = True,
+    channelwise: bool = False,
 ) -> optax.GradientTransformation:
     """SGD(momentum, wd) with the optional AlignQ analytic gradient correction.
 
@@ -38,7 +39,10 @@ def alignq_sgd(
         parts.append(optax.trace(decay=momentum, nesterov=False))
     if use_correction and w_bit < 32:
         parts.append(
-            scale_by_alignq_correction(w_bit, lam=lam, lam2=lam2, mask=correction_mask)
+            scale_by_alignq_correction(
+                w_bit, lam=lam, lam2=lam2, mask=correction_mask,
+                channelwise=channelwise,
+            )
         )
     parts.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*parts)

@@ -49,6 +49,18 @@ def tensor_stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mean, std
 
 
+def channel_stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel (mean, std) for HWIO conv kernels (reduce all but
+    the last axis, keepdims). NOT in the reference (per-tensor only,
+    quantization.py:70) — a beat-the-reference accuracy option: the CDF fit
+    is per-channel, so channels with different weight scales each get a
+    well-matched Gaussian instead of sharing one."""
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    std = jnp.std(x, axis=axes, ddof=1, keepdims=True)
+    return mean, std
+
+
 def cdf_transform(
     x: jax.Array,
     mean,

@@ -44,12 +44,19 @@ class WeightQuantResult(NamedTuple):
 
 
 def quantize_weight(
-    w: jax.Array, w_bit: int, *, variant: str = "b", grid_n: int | None = None
+    w: jax.Array,
+    w_bit: int,
+    *,
+    variant: str = "b",
+    grid_n: int | None = None,
+    channelwise: bool = False,
 ) -> WeightQuantResult:
-    """CDF-alignment fake-quantize a weight tensor (per-tensor statistics).
+    """CDF-alignment fake-quantize a weight tensor.
 
     grid_n: override the rounding grid (e.g. 127 = symmetric-int8 deploy
-    grid) — see quant/ste.py."""
+    grid) — see quant/ste.py.
+    channelwise: per-output-channel CDF statistics (beat-the-reference
+    option; the reference is per-tensor, quantization.py:70)."""
     if w_bit == 32:
         return WeightQuantResult(w, w, w)
     # NOTE: the reference differentiates *through* the CDF transform —
@@ -57,7 +64,12 @@ def quantize_weight(
     # Phi_{mean(w),std(w)}(w) is an ordinary autograd subgraph including the
     # mean/std dependence on w. jnp.mean / jnp.std(ddof=1) are differentiable,
     # so no stop_gradient here; the effective d(wq)/dw matches.
-    mean, std = tensor_stats(w)
+    if channelwise:
+        from alignq_tpu.quant.cdf import channel_stats
+
+        mean, std = channel_stats(w)
+    else:
+        mean, std = tensor_stats(w)
     if variant == "a":
         c, pdf = cdf_transform(w, mean, std, affine=False)
         wq = uniform_quantize(c, w_bit, grid_n) * 2.0 - 1.0
