@@ -58,6 +58,7 @@ class PreActBlock(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    channelwise: bool = False
     mxu_dtype: jnp.dtype | None = None
 
     def _conv(self, features, kernel_size, stride, padding, name):
@@ -71,6 +72,7 @@ class PreActBlock(nn.Module):
             a_bit=self.a_bit,
             method=self.method,
             variant=self.variant,
+            channelwise=self.channelwise,
             mxu_dtype=self.mxu_dtype,
             name=name,
         )
@@ -140,6 +142,7 @@ class PreActResNet(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    channelwise: bool = False
     block_bits: Sequence[int] | None = None
     mxu_dtype: jnp.dtype | None = None
 
@@ -158,6 +161,7 @@ class PreActResNet(nn.Module):
             a_bit=self.a_bit,
             method=self.method,
             variant=self.variant,
+            channelwise=self.channelwise,
             mxu_dtype=self.mxu_dtype,
             name="conv0",
         )(x)
@@ -209,6 +213,7 @@ class PreActResNet(nn.Module):
                 variant=self.variant,
                 act_range=self.act_range,
                 admm=self.admm,
+                channelwise=self.channelwise,
                 mxu_dtype=self.mxu_dtype,
                 name=f"layers_{i}",
             )(out, train, compute_corr)
