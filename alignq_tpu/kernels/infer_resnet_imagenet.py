@@ -125,3 +125,38 @@ def resnet_imagenet_int8_forward(
         out = jax.nn.relu(a_last + identity)
 
     return jnp.mean(out, axis=(1, 2))
+
+
+def dann_int8_forward(
+    qparams: Dict[str, Any],
+    heads: Dict[str, Any],
+    x: jax.Array,
+    act_bits: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Deploy a trained DANN: INT8 feature trunk + f32 classifier heads.
+
+    heads: {'class_classifier': {'kernel','bias'}, 'domain_classifier': ...}
+    from the trained DANN params (models/dann.py). The GRL is training-only
+    (identity at inference); returns (class_logits, domain_logits)."""
+    feat = resnet_imagenet_int8_forward(qparams, x, act_bits)
+    cls = feat @ heads["class_classifier"]["kernel"] + heads["class_classifier"]["bias"]
+    dom = feat @ heads["domain_classifier"]["kernel"] + heads["domain_classifier"]["bias"]
+    return cls, dom
+
+
+def convert_dann(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    weight_bits: int = 8,
+    act_bits: int = 8,
+) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split a trained DANN into (int8 feature qparams, f32 heads)."""
+    qparams = convert_resnet_imagenet(
+        params["feature"], batch_stats.get("feature", {}),
+        weight_bits=weight_bits, act_bits=act_bits,
+    )
+    heads = {
+        "class_classifier": dict(params["class_classifier"]),
+        "domain_classifier": dict(params["domain_classifier"]),
+    }
+    return qparams, heads

@@ -207,3 +207,23 @@ class TestInt8Artifact:
         assert int(meta["act_bits"]) == 8
         got = np.asarray(resnet20_int8_forward(qp2, x))
         np.testing.assert_array_equal(got, want)
+
+
+class TestDANNDeploy:
+    def test_dann_int8_tracks_fake_quant(self):
+        from alignq_tpu.kernels.infer_resnet_imagenet import (
+            convert_dann,
+            dann_int8_forward,
+        )
+        from alignq_tpu.models import DANN
+
+        model = DANN(arch="resnet18", num_classes=5, w_bit=8, a_bit=8,
+                     method="ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        cls_fq, dom_fq = model.apply(variables, x, 0.0, train=False)
+        qp, heads = convert_dann(variables["params"], variables["batch_stats"])
+        cls_i8, dom_i8 = dann_int8_forward(qp, heads, x)
+        assert cls_i8.shape == (2, 5) and dom_i8.shape == (2, 2)
+        c = np.corrcoef(np.asarray(cls_fq).ravel(), np.asarray(cls_i8).ravel())[0, 1]
+        assert c > 0.9
