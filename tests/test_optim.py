@@ -150,3 +150,20 @@ class TestCompressionInfo:
         )
         info4 = compression_info(variables["params"], bits_fn=lambda p: 4)
         assert info4["compression_rate"] > 7.5
+
+
+class TestProfiling:
+    def test_cost_analysis_and_timing(self):
+        import jax
+
+        from alignq_tpu.utils import profiling
+
+        def f(x):
+            return jnp.dot(x, x, precision=jax.lax.Precision.HIGHEST)
+
+        x = jnp.ones((128, 128))
+        info = profiling.cost_analysis(f, x)
+        assert info["flops"] >= 2 * 128**3 * 0.9
+        assert info["arithmetic_intensity"] > 0
+        t = profiling.measure_steady_state(jax.jit(f), x, iters=3, warmup=1)
+        assert t["seconds_per_iter"] > 0
