@@ -20,14 +20,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_std(x: jax.Array) -> jax.Array:
+    """Column std (ddof=1) whose gradient is 0 — not NaN — for columns that
+    are exactly constant across the batch.
+
+    jnp.std is sqrt(var); d(sqrt)/d(var) = 1/(2*sqrt(var)) is inf at var=0,
+    and inf * 0 cotangent = NaN. Constant columns happen in practice: low-bit
+    quantized activations tie exactly, and per-shard corr (small B_local,
+    dist/corr.py 'local' mode) makes that common — the first training step
+    then poisons the params with NaNs. Double-where keeps forward values
+    identical to jnp.std while routing the 0-variance branch around the
+    sqrt. (The reference's torch .std() has the same backward blow-up; it
+    just never runs batches small enough to hit it.)
+    """
+    var = jnp.var(x, axis=0, ddof=1)
+    nz = var > 0.0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, var, 1.0)), 0.0)
+
+
 def corr(x: jax.Array, y: jax.Array, *, eps: float = 0.0) -> jax.Array:
     """Pearson-style batch correlation: standardize columns, X @ Y^T / F.
 
     Matches reference quantization.py:134-137 exactly when eps == 0; the
     dann_office variant passes eps=1e-5 on the std (quantization.py:158-161).
     """
-    x_std = (x - jnp.mean(x, axis=0)) / (jnp.std(x, axis=0, ddof=1) + eps)
-    y_std = (y - jnp.mean(y, axis=0)) / (jnp.std(y, axis=0, ddof=1) + eps)
+    x_std = (x - jnp.mean(x, axis=0)) / (_safe_std(x) + eps)
+    y_std = (y - jnp.mean(y, axis=0)) / (_safe_std(y) + eps)
     # HIGHEST precision: on TPU the default f32 matmul uses bf16 passes;
     # the B x B discrepancies are small differences of near-equal matrices,
     # so full f32 accumulation matters (and the matmul is tiny: B x F x B).

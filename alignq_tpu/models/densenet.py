@@ -33,6 +33,7 @@ class DenseBasicBlock(nn.Module):
     act_range: float
     admm: bool
     drop_rate: float = 0.0
+    mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train=False, compute_corr=False):
@@ -46,6 +47,7 @@ class DenseBasicBlock(nn.Module):
             features=self.growth_rate, kernel_size=(3, 3), padding=1,
             use_bias=False, w_bit=self.w_bit, a_bit=self.a_bit,
             method=self.method, variant=self.variant, name="conv1",
+            mxu_dtype=self.mxu_dtype,
         )(out)
         if self.drop_rate > 0 and train:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
@@ -60,6 +62,7 @@ class Transition(nn.Module):
     variant: str
     act_range: float
     admm: bool
+    mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train=False, compute_corr=False):
@@ -73,6 +76,7 @@ class Transition(nn.Module):
             features=self.out_planes, kernel_size=(1, 1), padding=0,
             use_bias=False, w_bit=self.w_bit, a_bit=self.a_bit,
             method=self.method, variant=self.variant, name="conv1",
+            mxu_dtype=self.mxu_dtype,
         )(out)
         return nn.avg_pool(out, (2, 2), strides=(2, 2))
 
@@ -89,6 +93,7 @@ class DenseNet(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     drop_rate: float = 0.0
+    mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -97,12 +102,13 @@ class DenseNet(nn.Module):
         kw = dict(
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, act_range=self.act_range, admm=self.admm,
+            mxu_dtype=self.mxu_dtype,
         )
         inplanes = self.growth_rate * 2
         out = QConv(
             features=inplanes, kernel_size=(3, 3), padding=1, use_bias=False,
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
-            variant=self.variant, name="conv1",
+            variant=self.variant, name="conv1", mxu_dtype=self.mxu_dtype,
         )(x)
         for stage in range(3):
             for i in range(n):

@@ -41,6 +41,7 @@ class InvertedResidual(nn.Module):
     variant: str
     act_range: float
     admm: bool
+    mxu_dtype: jnp.dtype | None = None
 
     def _act(self, name):
         return QuantAct(
@@ -55,6 +56,7 @@ class InvertedResidual(nn.Module):
         kw = dict(
             use_bias=False, w_bit=self.w_bit, a_bit=self.a_bit,
             method=self.method, variant=self.variant,
+            mxu_dtype=self.mxu_dtype,
         )
         ura = not train
 
@@ -95,6 +97,7 @@ class MobileNetV2(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -102,11 +105,12 @@ class MobileNetV2(nn.Module):
         kw = dict(
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, act_range=self.act_range, admm=self.admm,
+            mxu_dtype=self.mxu_dtype,
         )
         out = QConv(
             features=32, kernel_size=(3, 3), padding=1, use_bias=False,
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
-            variant=self.variant, name="conv1",
+            variant=self.variant, name="conv1", mxu_dtype=self.mxu_dtype,
         )(x)
         out = BatchNorm(ura, name="bn1")(out)
         out = QuantAct(
@@ -127,7 +131,7 @@ class MobileNetV2(nn.Module):
         out = QConv(
             features=1280, kernel_size=(1, 1), padding=0, use_bias=False,
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
-            variant=self.variant, name="conv2",
+            variant=self.variant, name="conv2", mxu_dtype=self.mxu_dtype,
         )(out)
         out = BatchNorm(ura, name="bn2")(out)
         out = QuantAct(

@@ -31,6 +31,8 @@ def build_model(cfg: TrainConfig):
         pass
     if name not in builders:
         raise ValueError(f"unknown target_model {name!r}; have {sorted(builders)}")
+    import jax.numpy as jnp
+
     return builders[name](
         bitW=cfg.bitW,
         abitW=cfg.abitW,
@@ -39,4 +41,5 @@ def build_model(cfg: TrainConfig):
         variant=cfg.variant,
         act_range=cfg.act_range,
         num_classes=cfg.num_classes,
+        mxu_dtype=jnp.bfloat16 if cfg.mxu_bf16 else None,
     )

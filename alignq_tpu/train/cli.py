@@ -41,6 +41,24 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--lam", type=float, default=defaults.lam)
     p.add_argument("--lam2", type=float, default=defaults.lam2)
     p.add_argument("--admm", action="store_true")
+    # distributed execution (VERDICT.md item 1: these knobs are live)
+    p.add_argument(
+        "--mesh", type=int, nargs="+", default=None, metavar="N",
+        help="device mesh shape, e.g. --mesh 8 (data-parallel) or "
+             "--mesh 4 2 (data x model)",
+    )
+    p.add_argument(
+        "--corr_mode", choices=("gather", "local"), default=defaults.corr_mode,
+        help="ADMM corr under DP: 'gather' = exact global-batch (GSPMD "
+             "all-gather), 'local' = per-shard block-diagonal duals",
+    )
+    p.add_argument(
+        "--grad_compression", choices=("f32", "bf16", "int8_gather"),
+        default=defaults.grad_compression,
+        help="gradient all-reduce wire format (corr_mode=local path)",
+    )
+    p.add_argument("--mxu_bf16", action="store_true",
+                   help="cast conv operands to bf16 for full MXU rate")
     p.add_argument("--dataset", default=defaults.dataset)
     p.add_argument("--data_dir", default=defaults.data_dir)
     p.add_argument("--job_dir", default=defaults.job_dir)
@@ -55,9 +73,11 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--max_steps", type=int, default=None, help="early stop for smoke runs")
     a = p.parse_args(argv)
     field_names = {f.name for f in dataclasses.fields(TrainConfig)}
-    cfg = TrainConfig(
-        **{k: v for k, v in vars(a).items() if k in field_names},
-    )
+    overrides = {k: v for k, v in vars(a).items() if k in field_names}
+    if a.mesh is not None:
+        overrides["mesh_shape"] = tuple(a.mesh)
+        overrides["mesh_axes"] = ("data", "model")[: len(a.mesh)]
+    cfg = TrainConfig(**overrides)
     return cfg, a.resume, a.max_steps, a.pretrained
 
 

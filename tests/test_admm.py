@@ -43,6 +43,20 @@ class TestCorr:
         c = corr(jnp.asarray(x), jnp.asarray(x), eps=1e-5)
         assert np.isfinite(np.asarray(c)).all()
 
+    def test_constant_column_gradient_finite(self):
+        """Regression: a feature column constant across the batch (exact ties
+        from quantized activations, common with small per-shard B_local) must
+        not produce NaN gradients — jnp.std's sqrt-backward at var=0 did
+        (found via NaN abort on the corr_mode=local CLI path)."""
+        x = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+        x[:, 3] = 0.7  # exactly constant column
+
+        def loss(x):
+            return jnp.sum(corr(x, x, eps=1e-5) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(x))
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestLoss:
     def test_value_matches_closed_form(self):
