@@ -53,7 +53,7 @@ def corr(x: jax.Array, y: jax.Array, *, eps: float = 0.0) -> jax.Array:
         jnp.matmul(
             x_std,
             y_std.T,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x_std.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
         / x_std.shape[1]

@@ -178,7 +178,10 @@ class QConv(nn.Module):
                 padding=pad,
                 feature_group_count=self.feature_group_count,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
+                # operand dtype (not hard-coded f32) keeps the layer
+                # dtype-polymorphic — f64 runs (x64 parity tests) accumulate
+                # in f64; the f32 default is unchanged
+                preferred_element_type=lhs.dtype,
             )
         if self.use_bias:
             bias = self.param(
@@ -207,7 +210,7 @@ class QDense(nn.Module):
             wq = quantize_weight(kernel, self.w_bit, variant=self.variant).wq
         else:
             wq = kernel
-        y = jnp.dot(x, wq, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, wq, preferred_element_type=x.dtype)
         if self.use_bias:
             bias = self.param("bias", _torch_bias_init(in_features), (self.features,))
             y = y + bias
@@ -236,6 +239,13 @@ class QuantAct(nn.Module):
     method: str = "ours"
     variant: str = "b"
     admm: bool = False
+    # 'align' FP32 stage (dsan_office/utils/options_office.py:26 STAGE='align'):
+    # at a_bit==32 the activation still passes through the CDF transform
+    # WITHOUT rounding (quantization.py:92-102 returns activation_cdf) — the
+    # alignment-only ablation. Any other stage value keeps the identity
+    # short-circuit. No corr loss at 32-bit in either stage (the reference's
+    # `method=='ours' and a_bit<32` guard).
+    stage: str = "quant"
     # std epsilon in the corr standardization. The r20 reference divides by
     # a raw std (quantization.py:135 — 1/0 for any feature constant across
     # the batch); the office twin guards with +1e-5 (dann_office
@@ -247,6 +257,10 @@ class QuantAct(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, compute_corr: bool = False) -> jax.Array:
         if self.a_bit == 32 and not (self.admm and compute_corr):
+            if self.stage == "align" and self.method == "ours":
+                # FP32 alignment-only ablation: the CDF transform without
+                # rounding (quantization.py:96-102 returns activation_cdf)
+                return act_cdf(x, act_range=self.act_range, variant=self.variant)
             return x
         if self.method == "ours":
             if self.admm and compute_corr and self.a_bit < 32:
@@ -255,6 +269,12 @@ class QuantAct(nn.Module):
                 c = act_cdf(x, act_range=self.act_range, variant=self.variant)
                 d = corr_discrepancy(x_feat, c.reshape(b, -1), eps=self.corr_eps)
                 self.sow("admm_d", "d", d)
+            if self.a_bit == 32:
+                # admm+compute_corr fall-through at 32-bit (no corr at 32)
+                return (
+                    act_cdf(x, act_range=self.act_range, variant=self.variant)
+                    if self.stage == "align" else x
+                )
             return quantize_act(
                 x, self.a_bit, act_range=self.act_range, variant=self.variant
             )

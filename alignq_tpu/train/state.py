@@ -66,7 +66,9 @@ def create_train_state(
 ) -> TrainState:
     """Initialize params/batch-stats/duals/optimizer for a model."""
     p_rng, d_rng, x_rng = jax.random.split(rng, 3)
-    dummy = jax.random.normal(x_rng, input_shape, jnp.float32)
+    # default float dtype (f32 normally, f64 under enable_x64) so init-time
+    # conv dtypes agree with the initializers' default
+    dummy = jax.random.normal(x_rng, input_shape)
     variables = model.init(p_rng, dummy, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
