@@ -13,9 +13,13 @@ Faithfully shadows the QAT ('ours') forward (resnet.py:78-98, 145-160):
 - conv INPUTS are int8:
   * conv1 consumes relu(act-quantized codes) — bit-exact re-use of the
     codes, no requantization error;
-  * block conv0 / skip consume residual sums (range ~[0, 4]) — one linear
-    requantization at S_RES = 4/127 (error <= S_RES/2, absent in training;
-    the price of integer inputs);
+  * block conv0 / skip consume residual sums — one linear requantization at
+    the exact per-block bound (residual_bounds(); identity shortcuts grow
+    the sum by +act_range per block, so the bound is 4/6/8 within each
+    stage). The requant error (<= scale/2) is absent in plain fake-quant
+    training; the deploy-exact QAT mode (models/resnet_cifar.py
+    PreActResNet.deploy_exact) trains with these exact sites, closing the
+    train!=deploy gap;
   * the stem consumes normalized images at a static calibration scale
     S_IMG.
 - BN folds into the conv epilogue per-channel scale/bias (convert.py).
@@ -40,8 +44,35 @@ _SQRT2 = math.sqrt(2.0)
 
 # 8-bit defaults; the general W{b}A{b} grids come from convert.grid_max
 ACT_SCALE = 2.0 / 127.0  # act_range=2 over the symmetric 127 grid
-S_RES = 4.0 / 127.0  # residual-sum requantization scale (range [0, 4])
+S_RES = 4.0 / 127.0  # legacy fixed residual scale (kept for API compat; the
+# graph now uses the exact per-block bounds from residual_bounds() — a fixed
+# [0,4] range CLIPS: identity shortcuts grow the residual sum by +act_range
+# per block within a stage, so stage-final sums reach 8 (measured 7.86)
 S_IMG = 3.0 / 127.0  # normalized-image scale (CIFAR norm ~ [-2.5, 2.7])
+ACT_RANGE = 2.0
+
+
+def residual_bounds(has_skip, act_range: float = ACT_RANGE):
+    """Exact per-block input-value bounds for the requantization sites.
+
+    Block k's conv0/skip consume block k-1's output `out = relu(a1 + sc)`
+    with a1 in [-act_range, act_range]. The shortcut is act-quantized on
+    stride blocks (|sc| <= act_range) but is the raw previous output on
+    identity blocks, so the bound grows by +act_range per identity block and
+    resets at each stride block:
+
+        stem -> act_range; identity blk -> in + act_range; stride blk -> 2*act_range
+
+    For ResNet-20 (3 blocks/stage) that is in-bounds [2,4,6, 8,4,6, 8,4,6] —
+    tight against measured maxima (3.95..7.86). Returns one bound per block.
+    """
+    bounds = []
+    bound = act_range  # stem relu output
+    for skip in has_skip:
+        bounds.append(bound)
+        sc = act_range if skip else bound
+        bound = act_range + sc
+    return bounds
 
 
 def _act_g(act_bits: int) -> float:
@@ -61,7 +92,10 @@ def _erfq_codes(h: jax.Array, act_bits: int = 8) -> jax.Array:
 
 
 def _linear_q(x: jax.Array, scale: float) -> jax.Array:
-    return jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+    # reciprocal multiply, not division: bit-matches the deploy-exact QAT
+    # requant (quant/ste.py requant_ste) so train and deploy round the same
+    # codes everywhere
+    return jnp.clip(jnp.round(x * (1.0 / scale)), -127.0, 127.0).astype(jnp.int8)
 
 
 def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
@@ -87,10 +121,10 @@ def convert_preact_resnet(
     (W{weight_bits}A{act_bits}; codes stored int8).
 
     Each conv's epilogue scale folds ITS OWN input scale: stem S_IMG, block
-    conv0/skip S_RES, conv1 the act grid scale."""
+    conv0/skip the exact per-block residual bound, conv1 the act grid
+    scale."""
     out: Dict[str, Any] = {}
-    act_scale_a = 2.0 / _act_g(act_bits)
-    s_res = 4.0 / _act_g(act_bits)
+    g = _act_g(act_bits)
 
     def fold(conv_path, bn_path, act_scale):
         k = params
@@ -110,14 +144,17 @@ def convert_preact_resnet(
         (k for k in params if k.startswith("layers_")),
         key=lambda s: int(s.split("_")[1]),
     )
+    # conv0/skip consume the previous block's residual output; use the exact
+    # per-block bound (residual_bounds) so no requantization clips. Block 0
+    # consumes the stem (exact multiples of the act grid -> lossless).
+    bounds = residual_bounds(["skip_conv" in params[n] for n in layers])
     out["layers"] = []
-    for i, name in enumerate(layers):
-        # conv0/skip consume: stem output (layer 0: relu(codes)*act_scale,
-        # range [0,2]) or residual sums (range [0,4])
-        in_scale = act_scale_a if i == 0 else s_res
+    for name, bound in zip(layers, bounds):
+        in_scale = bound / g
         blk = {
             "conv0": fold((name, "conv0"), (name, "bn0"), in_scale),
-            "conv1": fold((name, "conv1"), (name, "bn1"), act_scale_a),
+            "conv1": fold((name, "conv1"), (name, "bn1"), ACT_RANGE / g),
+            "in_scale": in_scale,
         }
         if "skip_conv" in params[name]:
             blk["skip"] = fold((name, "skip_conv"), (name, "skip_bn"), in_scale)
@@ -135,19 +172,18 @@ def resnet20_int8_forward(
     """INT forward shadowing the 'ours' QAT graph value-for-value.
 
     act_bits is static; pass the same value used in convert_resnet20."""
-    act_scale = 2.0 / _act_g(act_bits)
-    s_res = 4.0 / _act_g(act_bits)
+    act_scale = ACT_RANGE / _act_g(act_bits)
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
     codes = _erfq_codes(h, act_bits)
     out = jax.nn.relu(codes.astype(jnp.float32) * act_scale)
-    in_scale = act_scale  # layer 0 consumes the stem output directly
 
     for blk in qparams["layers"]:
         stride = 2 if "skip" in blk else 1
-        # layer 0: values are exact multiples of act_scale -> lossless;
-        # later layers: one bounded requantization of the residual sum
-        x8 = _linear_q(out, in_scale)
+        # block 0: values are exact multiples of act_scale -> lossless;
+        # later blocks: one exact-bound requantization of the residual sum
+        # (per-block in_scale from residual_bounds, folded in convert)
+        x8 = _linear_q(out, blk["in_scale"])
         if "skip" in blk:
             # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
             sc_h = _int8_conv(x8, blk["skip"], stride, 0)
@@ -161,7 +197,6 @@ def resnet20_int8_forward(
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
         a1 = _erfq_codes(h1, act_bits).astype(jnp.float32) * act_scale  # act_q1
         out = jax.nn.relu(a1 + shortcut)
-        in_scale = s_res  # subsequent blocks consume residual sums
 
     feat = jnp.mean(out, axis=(1, 2))
     return feat @ qparams["logit"]["kernel"] + qparams["logit"]["bias"]

@@ -33,7 +33,7 @@ def build_model(cfg: TrainConfig):
         raise ValueError(f"unknown target_model {name!r}; have {sorted(builders)}")
     import jax.numpy as jnp
 
-    return builders[name](
+    kwargs = dict(
         bitW=cfg.bitW,
         abitW=cfg.abitW,
         method=cfg.method,
@@ -43,3 +43,11 @@ def build_model(cfg: TrainConfig):
         num_classes=cfg.num_classes,
         mxu_dtype=jnp.bfloat16 if cfg.mxu_bf16 else None,
     )
+    if cfg.deploy_exact:
+        if name not in ("resnet20_quant", "resnet56_quant"):
+            raise ValueError(
+                f"deploy_exact QAT is implemented for PreActResNet models, "
+                f"not {name!r}"
+            )
+        kwargs["deploy_exact"] = True
+    return builders[name](**kwargs)

@@ -60,6 +60,11 @@ class PreActBlock(nn.Module):
     admm: bool = False
     channelwise: bool = False
     mxu_dtype: jnp.dtype | None = None
+    # deploy-exact requantization of this block's input (QAT->deploy gap
+    # closure): fake-quantize the residual input on the grid the INT graph
+    # uses (kernels/infer.py residual_bounds). None = off.
+    requant_scale: float | None = None
+    requant_g: int = 127
 
     def _conv(self, features, kernel_size, stride, padding, name):
         return QConv(
@@ -91,6 +96,11 @@ class PreActBlock(nn.Module):
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
         ordering = ORDERING[self.method]
         ura = not train
+
+        if self.requant_scale is not None:
+            from alignq_tpu.quant.ste import requant_ste
+
+            x = requant_ste(x, self.requant_scale, self.requant_g)
 
         conv0 = self._conv(self.out_planes, (3, 3), self.stride, 1, "conv0")
         conv1 = self._conv(self.out_planes, (3, 3), 1, 1, "conv1")
@@ -145,11 +155,24 @@ class PreActResNet(nn.Module):
     channelwise: bool = False
     block_bits: Sequence[int] | None = None
     mxu_dtype: jnp.dtype | None = None
+    # Deploy-exact QAT (VERDICT.md round-1 item 3): fake-quantize at the
+    # stem-input and residual requant sites exactly as the INT graph does at
+    # inference (kernels/infer.py S_IMG + residual_bounds), so train ==
+    # deploy. Use with variant='int8' (the deployable grid); the requant grid
+    # is the symmetric 2^(a_bit-1)-1 deploy grid, not the reference's
+    # 2^k - 1 fake-quant grid.
+    deploy_exact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
         ordering = ORDERING[self.method]
         ura = not train
+
+        if self.deploy_exact:
+            from alignq_tpu.quant.ste import requant_ste
+
+            # stem consumes S_IMG-quantized images (kernels/infer.py:141)
+            x = requant_ste(x, 3.0 / 127.0, 127)
 
         out = QConv(
             features=16,
@@ -202,6 +225,17 @@ class PreActResNet(nn.Module):
             + [32] * self.num_units[1]
             + [64] * self.num_units[2]
         )
+        requant_scales = [None] * len(strides)
+        requant_g = 127
+        if self.deploy_exact:
+            from alignq_tpu.kernels.infer import residual_bounds
+
+            requant_g = 2 ** (self.a_bit - 1) - 1
+            requant_scales = [
+                b / requant_g
+                for b in residual_bounds([s != 1 for s in strides],
+                                         act_range=self.act_range)
+            ]
         for i, (stride, channel) in enumerate(zip(strides, channels)):
             w_bit = self.w_bit if self.block_bits is None else self.block_bits[i]
             out = PreActBlock(
@@ -215,6 +249,8 @@ class PreActResNet(nn.Module):
                 admm=self.admm,
                 channelwise=self.channelwise,
                 mxu_dtype=self.mxu_dtype,
+                requant_scale=requant_scales[i],
+                requant_g=requant_g,
                 name=f"layers_{i}",
             )(out, train, compute_corr)
 

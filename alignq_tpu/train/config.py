@@ -39,6 +39,10 @@ class TrainConfig:
 
     # AlignQ specifics
     admm: bool = False
+    # deploy-exact QAT: model the INT graph's stem/residual requant sites in
+    # training (resnet_cifar.py PreActResNet.deploy_exact); pair with
+    # variant='int8'
+    deploy_exact: bool = False
     admm_mu: float = 0.2
     admm_rho: float = 0.3
     # which conv kernels get the PDF-corrected gradient; the stem is excluded
@@ -61,6 +65,9 @@ class TrainConfig:
     seed: int = 0
     print_freq: int = 100
     eval_freq_epochs: int = 1
+    # keep only the single best-top1 checkpoint (reference model_best.pt,
+    # utils/common.py:29-61; the svhn driver keeps best only)
+    best_only_checkpoint: bool = False
 
     # TPU execution
     mxu_bf16: bool = False  # cast conv operands to bf16 for full MXU rate

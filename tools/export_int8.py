@@ -34,6 +34,12 @@ def main():
         help="quantizer variant: 'int8' trains on the exact deployment grid; "
              "'b' is the reference grid (255 levels, +1 effective bit)",
     )
+    p.add_argument(
+        "--deploy_exact", action="store_true",
+        help="deploy-exact QAT: fake-quantize the stem-input and residual "
+             "requant sites during training exactly as the INT graph does "
+             "(resnet20 only)",
+    )
     a = p.parse_args()
 
     from alignq_tpu.data.registry import get_data
@@ -54,16 +60,20 @@ def main():
     }
     build, convert, int_forward, target, excl = builders[a.model]
 
+    if a.deploy_exact and a.model != "resnet20":
+        p.error("--deploy_exact is implemented for --model resnet20")
     cfg = TrainConfig(
         target_model=target, method="ours", bitW=a.bits,
         abitW=a.bits, variant=a.variant, dataset=a.dataset,
         data_dir=a.data_dir, num_epochs=a.epochs, train_batch_size=a.batch,
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
-        correction_exclude=excl,
+        correction_exclude=excl, deploy_exact=a.deploy_exact,
     )
     data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
                     cfg.eval_batch_size, cfg.seed)
-    model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant)
+    extra = {"deploy_exact": True} if a.deploy_exact else {}
+    model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant,
+                  **extra)
     result = fit(cfg, data, model=model)
     state = result["state"]
     print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
