@@ -40,6 +40,7 @@ class DANN(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    stage: str = "quant"  # 'align' = FP32 CDF-only ablation (options_office.py:26)
 
     def setup(self):
         builder = {
@@ -50,6 +51,7 @@ class DANN(nn.Module):
         self.feature = builder(
             bitW=self.w_bit, abitW=self.a_bit, method=self.method,
             admm=self.admm, variant=self.variant, act_range=self.act_range,
+            stage=self.stage,
         )
         self.class_classifier = QDense(self.num_classes, name="class_classifier")
         self.domain_classifier = QDense(2, name="domain_classifier")
@@ -77,6 +79,7 @@ class DSAN(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    stage: str = "quant"  # reference DSAN default is 'align' (options_office.py:26)
 
     def setup(self):
         builder = {
@@ -87,6 +90,7 @@ class DSAN(nn.Module):
         self.feature_layers = builder(
             bitW=self.w_bit, abitW=self.a_bit, method=self.method,
             admm=self.admm, variant=self.variant, act_range=self.act_range,
+            stage=self.stage,
         )
         if self.bottle_neck:
             self.bottle = QDense(256, name="bottle")

@@ -38,6 +38,7 @@ class BasicBlock(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    stage: str = "quant"  # 'align' = FP32 CDF-only ablation (nn/layers.py)
 
     expansion = 1
 
@@ -47,7 +48,8 @@ class BasicBlock(nn.Module):
         kw = dict(use_bias=False, w_bit=self.w_bit, a_bit=self.a_bit,
                   method=self.method, variant=self.variant)
         act_kw = dict(a_bit=self.a_bit, act_range=self.act_range,
-                      method=self.method, variant=self.variant)
+                      method=self.method, variant=self.variant,
+                      stage=self.stage)
         identity = x
         out = QConv(self.planes, (3, 3), (self.stride, self.stride), 1, name="conv1", **kw)(x)
         out = BatchNorm(ura, name="bn1")(out)
@@ -76,6 +78,7 @@ class Bottleneck(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    stage: str = "quant"
 
     expansion = 4
 
@@ -85,7 +88,8 @@ class Bottleneck(nn.Module):
         kw = dict(use_bias=False, w_bit=self.w_bit, a_bit=self.a_bit,
                   method=self.method, variant=self.variant)
         act_kw = dict(a_bit=self.a_bit, act_range=self.act_range,
-                      method=self.method, variant=self.variant)
+                      method=self.method, variant=self.variant,
+                      stage=self.stage)
         identity = x
         width = self.planes
         out = QConv(width, (1, 1), (1, 1), 0, name="conv1", **kw)(x)
@@ -121,6 +125,7 @@ class ResNetFeature(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    stage: str = "quant"
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -133,14 +138,15 @@ class ResNetFeature(nn.Module):
         out = BatchNorm(ura, name="bn1")(out)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, name="act_q0",
+            variant=self.variant, stage=self.stage, name="act_q0",
         )(out)
         out = jax.nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         inplanes = 64
         kw = dict(w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
-                  variant=self.variant, act_range=self.act_range, admm=self.admm)
+                  variant=self.variant, act_range=self.act_range,
+                  admm=self.admm, stage=self.stage)
         for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2
             for b in range(blocks):

@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=224, help="office image size")
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--admm", action="store_true")
+    p.add_argument("--stage", default=d.stage, choices=["quant", "align"],
+                   help="'align' = FP32 CDF-only ablation (reference DSAN "
+                        "default STAGE, options_office.py:26)")
     p.add_argument("--data_dir", default=d.data_dir)
     p.add_argument("--job_dir", default=d.job_dir)
     p.add_argument("--seed", type=int, default=d.seed)
@@ -85,7 +88,7 @@ def main(argv=None):
 
             model = DANN(
                 arch=a.arch, num_classes=num_classes, w_bit=a.bitW,
-                a_bit=a.abitW, method=a.method, admm=a.admm,
+                a_bit=a.abitW, method=a.method, admm=a.admm, stage=a.stage,
             )
             result = fit_dann(cfg, loaders, model, max_steps=a.max_steps)
         else:
@@ -94,6 +97,7 @@ def main(argv=None):
             model = DSAN(
                 arch=a.arch, num_classes=num_classes, bottle_neck=a.bottle_neck,
                 w_bit=a.bitW, a_bit=a.abitW, method=a.method, admm=a.admm,
+                stage=a.stage,
             )
             result = fit_dsan(cfg, loaders, model, max_steps=a.max_steps)
 

@@ -53,6 +53,10 @@ class DAConfig(TrainConfig):
     # the digit driver uses plain torch SGD — no PDF correction
     # (dann_digit/main.py:108); office drivers use the corrected SGD
     use_correction: bool = True
+    # 'align' = FP32 CDF-only ablation stage; the reference DSAN default
+    # (dsan_office/utils/options_office.py:26 STAGE='align'). Only observable
+    # at abitW==32 (nn/layers.py QuantAct.stage).
+    stage: str = "quant"
     lr: float = 1e-3
     weight_decay: float = 5e-4
     head_lr_mult: float = 10.0
