@@ -57,12 +57,32 @@ def densenet40_cifar10(**over) -> TrainConfig:
     )
 
 
-def mobilenetv2_svhn_w8a8(**over) -> TrainConfig:
-    """mobilenet-v2-svhn defaults (8/8); corrected set includes conv1/conv2/
-    shortcut convs (mobilenet main.py:177-200)."""
+def resnet20_svhn_w8a8(**over) -> TrainConfig:
+    """resnet-20-svhn defaults: 8/8, lr 1e-3 (committed, PRETRAINED=True —
+    warm-start from a 32-bit CIFAR-style pretrain via fit(pretrained_dir=...);
+    use lr .01 when training from scratch per the options.py:66 comment),
+    MultiStep[80,150], best-only checkpointing (main.py:136-144)
+    (cdf_alignment/resnet-20-svhn/utils/options.py:51-83)."""
     return dataclasses.replace(
         resnet20_cifar10_w8a8(),
-        target_model="mobile_v2", dataset="svhn", correction_exclude=(), **over,
+        dataset="svhn", lr=1e-3, lr_decay_steps=(80, 150),
+        best_only_checkpoint=True, **over,
+    )
+
+
+def mobilenetv2_svhn_w8a8(**over) -> TrainConfig:
+    """mobilenet-v2-svhn defaults (8/8); corrected set includes conv1/conv2/
+    shortcut convs (mobilenet main.py:177-200).
+
+    warmup_epochs=2: the reference warm-starts from a pretrained model
+    (mobilenet-v2-svhn/main.py pretrained load) and its lr=0.04 diverges when
+    training MobileNetV2 from scratch (ARCHITECTURE.md lr sweep). The linear
+    warmup makes the shipped preset converge from scratch; when warm-starting
+    via fit(pretrained_dir=...), warmup is harmless."""
+    return dataclasses.replace(
+        resnet20_cifar10_w8a8(),
+        target_model="mobile_v2", dataset="svhn", correction_exclude=(),
+        warmup_epochs=2.0, **over,
     )
 
 
@@ -115,6 +135,7 @@ ALL = {
     "resnet20_cifar10_w4a4_admm": resnet20_cifar10_w4a4_admm,
     "resnet56_cifar10_w4a4_admm": resnet56_cifar10_w4a4_admm,
     "densenet40_cifar10": densenet40_cifar10,
+    "resnet20_svhn_w8a8": resnet20_svhn_w8a8,
     "mobilenetv2_svhn_w8a8": mobilenetv2_svhn_w8a8,
     "dann_office_d2w_w8a8_admm": dann_office_d2w_w8a8_admm,
     "dsan_office_a2w_w4a4": dsan_office_a2w_w4a4,

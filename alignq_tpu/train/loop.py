@@ -138,7 +138,9 @@ def fit(
         train_step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, cfg))
 
-    ckpt = CheckpointManager(cfg.job_dir)
+    ckpt = CheckpointManager(
+        cfg.job_dir, max_to_keep=1 if cfg.best_only_checkpoint else 3
+    )
     start_epoch = 0
     if resume:
         # restore AFTER any local-duals reshape so the checkpoint template
