@@ -49,3 +49,28 @@ def param_shardings(
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def qparams_shardings(qparams: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    """NamedSharding pytree for frozen INT8 graph params (kernels/infer*):
+    int8 conv kernels (HWIO, ndim 4) shard on output channels over
+    `model_axis` when divisible; per-channel scales/biases and everything
+    else replicate (XLA re-shards the epilogue locally). A mesh without a
+    `model_axis` axis (pure-DP serving) replicates everything."""
+    axis_size = dict(mesh.shape).get(model_axis, 1)
+
+    def rule(leaf):
+        if (
+            axis_size > 1
+            and getattr(leaf, "ndim", 0) == 4
+            and leaf.shape[-1] % axis_size == 0
+        ):
+            return NamedSharding(mesh, P(None, None, None, model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, qparams)
+
+
+def place_qparams(qparams: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    sh = qparams_shardings(qparams, mesh, model_axis)
+    return jax.tree.map(jax.device_put, qparams, sh)

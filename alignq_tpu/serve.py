@@ -47,8 +47,30 @@ class BatchedInferenceEngine:
         batch_size: int,
         input_shape: Tuple[int, ...],
         max_delay_ms: float = 2.0,
+        mesh: Optional[Any] = None,
+        data_axis: str = "data",
+        model_axis: str = "model",
     ):
+        """mesh: optional jax.sharding.Mesh for sharded serving — int8 conv
+        kernels shard on output channels over `model_axis`
+        (dist/sharding.py qparams_shardings) and request batches over
+        `data_axis`; batch_size must divide by the data-axis size."""
         self.forward = jax.jit(forward)
+        self.mesh = mesh
+        self._place_x = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from alignq_tpu.dist.sharding import place_qparams
+
+            if batch_size % mesh.shape[data_axis]:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis "
+                    f"size {mesh.shape[data_axis]}"
+                )
+            params = place_qparams(params, mesh, model_axis)
+            x_sh = NamedSharding(mesh, P(data_axis))
+            self._place_x = lambda x: jax.device_put(x, x_sh)
         self.params = params
         self.batch_size = batch_size
         self.input_shape = tuple(input_shape)
@@ -58,6 +80,8 @@ class BatchedInferenceEngine:
         self._thread = threading.Thread(target=self._run, daemon=True)
         # warm the executable once so first requests don't pay compile
         dummy = jnp.zeros((batch_size, *self.input_shape), jnp.float32)
+        if self._place_x is not None:
+            dummy = self._place_x(dummy)
         jax.block_until_ready(self.forward(self.params, dummy))
         self._thread.start()
 
@@ -102,7 +126,10 @@ class BatchedInferenceEngine:
                     [x, np.zeros((pad, *self.input_shape), x.dtype)], axis=0
                 )
             try:
-                out = np.asarray(self.forward(self.params, jnp.asarray(x)))
+                xj = jnp.asarray(x)
+                if self._place_x is not None:
+                    xj = self._place_x(xj)
+                out = np.asarray(self.forward(self.params, xj))
             except Exception as e:  # propagate instead of hanging futures
                 for _, fut in batch:
                     fut.set_exception(e)
@@ -141,12 +168,14 @@ class Future:
 
 
 def build_int8_resnet20_engine(
-    params: Any, batch_stats: Any, batch_size: int = 256
+    params: Any, batch_stats: Any, batch_size: int = 256, mesh: Any = None
 ) -> BatchedInferenceEngine:
-    """Freeze trained params into the INT8 graph and wrap in an engine."""
+    """Freeze trained params into the INT8 graph and wrap in an engine.
+
+    mesh: optional Mesh with ('data', 'model') axes for DP+TP serving."""
     from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
 
     qparams = convert_resnet20(params, batch_stats)
     return BatchedInferenceEngine(
-        resnet20_int8_forward, qparams, batch_size, (32, 32, 3)
+        resnet20_int8_forward, qparams, batch_size, (32, 32, 3), mesh=mesh
     )

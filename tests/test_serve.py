@@ -2,9 +2,12 @@
 
 import numpy as np
 import jax
+import pytest
 
 from alignq_tpu.models import resnet20_quant
 from alignq_tpu.serve import build_int8_resnet20_engine
+
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
 
 
 class TestServing:
@@ -29,6 +32,57 @@ class TestServing:
             np.testing.assert_allclose(o1, o2, atol=1e-5)
         finally:
             engine.close()
+
+    def test_mesh_serving_matches_replicated(self):
+        """Engine with a (2, 4) data x model mesh (TP weight sharding + DP
+        batch sharding) returns the same logits as the single-device engine
+        (VERDICT.md round-1 item 9: TP serving as an engine feature)."""
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from alignq_tpu.dist import make_mesh
+
+        model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(3), x, train=False)
+        img = np.random.RandomState(4).randn(8, 32, 32, 3).astype(np.float32)
+
+        plain = build_int8_resnet20_engine(
+            variables["params"], variables["batch_stats"], batch_size=8
+        )
+        try:
+            ref = plain.submit(img).result(timeout=120)
+        finally:
+            plain.close()
+
+        mesh = make_mesh((2, 4), ("data", "model"))
+        tp = build_int8_resnet20_engine(
+            variables["params"], variables["batch_stats"], batch_size=8,
+            mesh=mesh,
+        )
+        try:
+            out = tp.submit(img).result(timeout=120)
+        finally:
+            tp.close()
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_mesh_batch_divisibility_check(self):
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from alignq_tpu.dist import make_mesh
+
+        model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(5), x, train=False)
+        mesh = make_mesh((8,), ("data",))
+        with pytest.raises(ValueError, match="divisible"):
+            build_int8_resnet20_engine(
+                variables["params"], variables["batch_stats"], batch_size=12,
+                mesh=mesh,
+            )
 
     def test_padding_does_not_leak(self):
         """A 1-image request in an 8-batch engine: padding rows must not
