@@ -72,3 +72,67 @@ def fold_conv_bn(
     scale = act_scale * (1.0 / grid_max(bits)) * inv
     bias = bn_bias - bn_mean * inv
     return QConvInt8(k_int8, scale.astype(jnp.float32), bias.astype(jnp.float32))
+
+
+# ---------------- INT4 on-wire packing ----------------
+# Two 4-bit two's-complement codes per int8 byte (even index -> low nibble).
+# v5e has no native int4 compute (and jnp.int4 fails to compile on this
+# backend), so sub-8-bit codes compute at int8 rate either way; packing buys
+# the 2x weight footprint in HBM and on disk. The unpack is a few VPU ops
+# fused ahead of the conv; weights stay packed in HBM under jit.
+
+
+def pack_int4(codes: jax.Array) -> jax.Array:
+    """Pack int8-stored 4-bit codes pairwise along the LAST axis (must be
+    even — conv Cout is even for every supported model). Inverse of
+    unpack_int4."""
+    if codes.shape[-1] % 2:
+        raise ValueError(f"last axis must be even, got {codes.shape}")
+    c = codes.astype(jnp.int32)
+    lo = c[..., 0::2] & 0xF
+    hi = c[..., 1::2] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Unpack uint8 bytes to int8 codes (sign-extended nibbles),
+    doubling the last axis."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    out = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    return out.astype(jnp.int8)
+
+
+def _is_int4_kernel(leaf) -> bool:
+    return getattr(leaf, "dtype", None) == jnp.int8 and getattr(leaf, "ndim", 0) == 4
+
+
+def pack_qparams_int4(qparams):
+    """Pack every 4-D int8 kernel of a converted qparams pytree (any
+    infer_* family). Use with weight_bits=4 conversions: codes must fit a
+    nibble ([-7, 7]); int8-range codes would be corrupted."""
+    def f(leaf):
+        if _is_int4_kernel(leaf):
+            return pack_int4(leaf)
+        return leaf
+
+    return jax.tree.map(f, qparams)
+
+
+def unpack_qparams_int4(qparams_packed):
+    def f(leaf):
+        if getattr(leaf, "dtype", None) == jnp.uint8 and getattr(leaf, "ndim", 0) == 4:
+            return unpack_int4(leaf)
+        return leaf
+
+    return jax.tree.map(f, qparams_packed)
+
+
+def packed_int4_forward(forward, qparams_packed, *args, **kwargs):
+    """Run an infer_* forward on a packed-weight pytree: the unpack is part
+    of the traced graph, so under jit the weights live packed in HBM and the
+    nibble expansion fuses ahead of each conv."""
+    return forward(unpack_qparams_int4(qparams_packed), *args, **kwargs)
