@@ -3,16 +3,20 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from alignq_tpu.admm.lmmd import gaussian_kernel, lmmd
 from alignq_tpu.nn.grl import gradient_reversal
 from alignq_tpu.train.da import (
+
     DAConfig,
     dann_lr,
     grl_alpha,
     make_dann_train_step,
     make_dsan_train_step,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
 
 
 class TestGRL:

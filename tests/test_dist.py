@@ -11,6 +11,8 @@ from jax.sharding import PartitionSpec as P
 
 from alignq_tpu.dist import make_mesh, param_shardings, shard_batch
 
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def mesh8():

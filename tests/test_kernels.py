@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from alignq_tpu.kernels.convert import fold_conv_bn, quantize_weight_int8
 from alignq_tpu.kernels.infer import (
@@ -15,9 +16,12 @@ from alignq_tpu.kernels.qmatmul import (
     int8_matmul_dequant_reference,
 )
 from alignq_tpu.kernels.quantize import (
+
     cdf_quantize_int8,
     cdf_quantize_int8_reference,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
 
 
 class TestQuantizeKernel:

@@ -5,6 +5,10 @@ import numpy as np
 
 from alignq_tpu.models import densenet_40_quant, mobile_v2
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
+
 
 class TestDenseNet40:
     def test_forward_and_structure(self):

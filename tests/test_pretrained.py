@@ -9,6 +9,10 @@ from alignq_tpu.train import TrainConfig, create_train_state, make_train_step
 from alignq_tpu.train.checkpoint import CheckpointManager
 from alignq_tpu.train.pretrained import load_pretrained, merge_pretrained
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
+
 
 class TestMerge:
     def test_matching_leaves_taken_shape_mismatch_kept(self):

@@ -17,6 +17,10 @@ from alignq_tpu.train import (
 from alignq_tpu.train.checkpoint import CheckpointManager
 from alignq_tpu.train.loop import fit
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration (pyproject markers)
+
 
 def small_cfg(**kw):
     base = dict(
