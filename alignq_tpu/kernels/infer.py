@@ -8,18 +8,20 @@ Faithfully shadows the QAT ('ours') forward (resnet.py:78-98, 145-160):
   like training: codes = round(clip(erf(h/sqrt2), -1, 1) * 127) — the value
   is ACT_SCALE*codes, the canonical-int8 form of the reference's
   fake-quant grid (SURVEY.md section 2.4.6).
-- relu / residual adds stay in f32 — identical to training; all inter-site
-  values are exact multiples of ACT_SCALE.
+- relu / residual adds run on INTEGER CODES (int32, act_scale units) — all
+  inter-site values are exact multiples of ACT_SCALE by construction, and a
+  float-valued stream is fusion-nondeterministic at the requant ties (see
+  _requant_codes). Value semantics are identical to training's f32 adds.
 - conv INPUTS are int8:
   * conv1 consumes relu(act-quantized codes) — bit-exact re-use of the
     codes, no requantization error;
-  * block conv0 / skip consume residual sums — one linear requantization at
-    the exact per-block bound (residual_bounds(); identity shortcuts grow
-    the sum by +act_range per block, so the bound is 4/6/8 within each
-    stage). The requant error (<= scale/2) is absent in plain fake-quant
-    training; the deploy-exact QAT mode (models/resnet_cifar.py
-    PreActResNet.deploy_exact) trains with these exact sites, closing the
-    train!=deploy gap;
+  * block conv0 / skip consume residual code sums — one exact-integer
+    requantization at the per-block bound (residual_multipliers(); identity
+    shortcuts grow the sum by +act_range per block, so the bound is 4/6/8
+    within each stage). The requant error (<= scale/2) is absent in plain
+    fake-quant training; the deploy-exact QAT mode (models/resnet_cifar.py
+    PreActResNet.deploy_exact) trains with these exact sites — same integer
+    rounding, quant/ste.py requant_grid_ste — closing the train!=deploy gap;
   * the stem consumes normalized images at a static calibration scale
     S_IMG.
 - BN folds into the conv epilogue per-channel scale/bias (convert.py).
@@ -52,8 +54,8 @@ S_IMG = 3.0 / 127.0  # normalized-image scale (CIFAR norm ~ [-2.5, 2.7])
 ACT_RANGE = 2.0
 
 
-def residual_bounds(has_skip, act_range: float = ACT_RANGE):
-    """Exact per-block input-value bounds for the requantization sites.
+def residual_multipliers(has_skip):
+    """Exact per-block input bounds as INTEGER multiples of act_range.
 
     Block k's conv0/skip consume block k-1's output `out = relu(a1 + sc)`
     with a1 in [-act_range, act_range]. The shortcut is act-quantized on
@@ -61,18 +63,23 @@ def residual_bounds(has_skip, act_range: float = ACT_RANGE):
     identity blocks, so the bound grows by +act_range per identity block and
     resets at each stride block:
 
-        stem -> act_range; identity blk -> in + act_range; stride blk -> 2*act_range
+        stem -> 1; identity blk -> in + 1; stride blk -> 2   (x act_range)
 
-    For ResNet-20 (3 blocks/stage) that is in-bounds [2,4,6, 8,4,6, 8,4,6] —
-    tight against measured maxima (3.95..7.86). Returns one bound per block.
+    For ResNet-20 (3 blocks/stage) that is m = [1,2,3, 4,2,3, 4,2,3] —
+    tight against measured maxima (3.95..7.86 at act_range=2). The
+    integrality of m is what lets the requantization run in exact integer
+    arithmetic (_requant_codes): the block-input grid is m * act_scale.
     """
-    bounds = []
-    bound = act_range  # stem relu output
+    ms, m = [], 1  # stem relu output
     for skip in has_skip:
-        bounds.append(bound)
-        sc = act_range if skip else bound
-        bound = act_range + sc
-    return bounds
+        ms.append(m)
+        m = 1 + (1 if skip else m)
+    return ms
+
+
+def residual_bounds(has_skip, act_range: float = ACT_RANGE):
+    """Per-block input-value bounds (residual_multipliers * act_range)."""
+    return [m * act_range for m in residual_multipliers(has_skip)]
 
 
 def _act_g(act_bits: int) -> float:
@@ -92,10 +99,61 @@ def _erfq_codes(h: jax.Array, act_bits: int = 8) -> jax.Array:
 
 
 def _linear_q(x: jax.Array, scale: float) -> jax.Array:
-    # reciprocal multiply, not division: bit-matches the deploy-exact QAT
-    # requant (quant/ste.py requant_ste) so train and deploy round the same
-    # codes everywhere
+    # stem-input quantization of real image data (ties measure-zero there).
+    # Reciprocal multiply, not division: bit-matches the deploy-exact QAT
+    # stem requant (quant/ste.py requant_ste) so train and deploy round the
+    # same codes
     return jnp.clip(jnp.round(x * (1.0 / scale)), -127.0, 127.0).astype(jnp.int8)
+
+
+def _requant_codes(k: jax.Array, m: int, g: float, signed: bool = False) -> jax.Array:
+    """Residual-stream requantization in EXACT integer arithmetic.
+
+    The residual stream is carried as int32 codes K >= 0 in act_scale units;
+    the block-input grid is m*act_scale (m = residual_multipliers entry), so
+    the target code is round(K/m) — which lands exactly on .5 ties for even
+    m (every odd K). Rounding those ties in float is fusion-nondeterministic
+    (the fp error of K*act_scale/in_scale decides the side — measured ~26%
+    code flips between XLA fusion choices of the same graph). Round-half-up
+    integer arithmetic (2K + m) // (2m) is bit-deterministic under any
+    fusion and matches the deploy-exact QAT requant (quant/ste.py
+    requant_grid_ste) code-for-code.
+
+    signed=True admits negative K (e.g. MobileNet block outputs, which have
+    no trailing relu): integer floor-division rounds half-up toward +inf for
+    negative operands too, so the tie side stays deterministic.
+
+    m MUST be a static Python int: XLA strength-reduces division by a
+    compile-time constant to multiply-shift, but division by a traced scalar
+    lowers to per-element software division — measured 25x on the whole
+    graph. Callers derive m from the static block structure
+    (residual_multipliers), never from a jitted-arg pytree leaf."""
+    assert isinstance(m, int), "m must be static (see docstring)"
+    lo = jnp.int32(-g) if signed else 0
+    if m == 1:  # lossless pass-through (e.g. block 0): round(K/1) == K
+        return jnp.clip(k, lo, jnp.int32(g)).astype(jnp.int8)
+    return jnp.clip((2 * k + m) // (2 * m), lo, jnp.int32(g)).astype(jnp.int8)
+
+
+def _int8_conv_1x1_pallas(x_int8: jax.Array, q: QConvInt8, stride: int = 1):
+    """1x1 conv as the fused Pallas int8 matmul (kernels/qmatmul.py).
+
+    A 1x1 stride-s conv is a strided spatial subsample followed by a
+    (B*H'*W', Cin) @ (Cin, Cout) matmul; the Pallas kernel fuses the
+    int32->f32 dequant + bias epilogue in VMEM. Used when
+    resnet20_int8_forward(use_pallas_1x1=True); the head-to-head numbers
+    are in ARCHITECTURE.md (Pallas vs XLA per site).
+    """
+    from alignq_tpu.kernels.qmatmul import int8_matmul_dequant
+
+    if stride != 1:
+        x_int8 = x_int8[:, ::stride, ::stride, :]
+    b, h, w, cin = x_int8.shape
+    kmat = q.kernel_int8.reshape(cin, -1)  # HWIO 1x1 -> (Cin, Cout)
+    y = int8_matmul_dequant(
+        x_int8.reshape(-1, cin), kmat, q.scale, q.bias
+    )
+    return y.reshape(b, h, w, -1)
 
 
 def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
@@ -145,16 +203,19 @@ def convert_preact_resnet(
         key=lambda s: int(s.split("_")[1]),
     )
     # conv0/skip consume the previous block's residual output; use the exact
-    # per-block bound (residual_bounds) so no requantization clips. Block 0
-    # consumes the stem (exact multiples of the act grid -> lossless).
-    bounds = residual_bounds(["skip_conv" in params[n] for n in layers])
+    # per-block bound (residual_multipliers * act_range) so no
+    # requantization clips. Block 0 consumes the stem at m=1 (lossless).
+    ms = residual_multipliers(["skip_conv" in params[n] for n in layers])
     out["layers"] = []
-    for name, bound in zip(layers, bounds):
-        in_scale = bound / g
+    for name, m in zip(layers, ms):
+        in_scale = m * ACT_RANGE / g
         blk = {
             "conv0": fold((name, "conv0"), (name, "bn0"), in_scale),
             "conv1": fold((name, "conv1"), (name, "bn1"), ACT_RANGE / g),
             "in_scale": in_scale,
+            # informational: the forward derives m from the static block
+            # structure instead (a pytree leaf would be traced under jit)
+            "m": m,
         }
         if "skip_conv" in params[name]:
             blk["skip"] = fold((name, "skip_conv"), (name, "skip_bn"), in_scale)
@@ -167,38 +228,59 @@ def convert_preact_resnet(
 
 
 def resnet20_int8_forward(
-    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
+    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
+    use_pallas_1x1: bool = False,
 ) -> jax.Array:
     """INT forward shadowing the 'ours' QAT graph value-for-value.
 
-    act_bits is static; pass the same value used in convert_resnet20."""
-    act_scale = ACT_RANGE / _act_g(act_bits)
+    act_bits is static; pass the same value used in convert_resnet20.
+    use_pallas_1x1 routes the 1x1 skip convs through the fused Pallas int8
+    matmul instead of XLA's conv (head-to-head in ARCHITECTURE.md).
+
+    The residual stream is carried as INT32 CODES in act_scale units (every
+    inter-site value is an exact multiple of act_scale by construction), so
+    the residual adds, relus, and block-input requantizations are exact
+    integer arithmetic — the graph's predictions are bit-deterministic under
+    any XLA fusion/recompilation. A float-valued stream is NOT: its requant
+    ratios K/m land exactly on .5 ties, where fp fusion order decides the
+    rounding side (measured ~26% code flips jit-vs-stepwise on TPU; see
+    _requant_codes). f32 appears only inside each conv's dequant epilogue,
+    where values are generic reals and ties have measure zero."""
+    g = _act_g(act_bits)
+    act_scale = ACT_RANGE / g
+    # per-block bound multipliers from the STATIC block structure (NOT from
+    # the qparams leaf "m": a pytree leaf is traced under jit, and integer
+    # division by a traced scalar is per-element software division — 25x)
+    ms = residual_multipliers(["skip" in blk for blk in qparams["layers"]])
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
-    codes = _erfq_codes(h, act_bits)
-    out = jax.nn.relu(codes.astype(jnp.float32) * act_scale)
+    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int32), 0)
 
-    for blk in qparams["layers"]:
+    for blk, m in zip(qparams["layers"], ms):
         stride = 2 if "skip" in blk else 1
-        # block 0: values are exact multiples of act_scale -> lossless;
-        # later blocks: one exact-bound requantization of the residual sum
-        # (per-block in_scale from residual_bounds, folded in convert)
-        x8 = _linear_q(out, blk["in_scale"])
+        # block 0 (m=1): codes pass through losslessly; later blocks: one
+        # exact-bound integer requantization of the residual code sum
+        x8 = _requant_codes(out_c, m, g)
         if "skip" in blk:
             # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
-            sc_h = _int8_conv(x8, blk["skip"], stride, 0)
-            shortcut = _erfq_codes(sc_h, act_bits).astype(jnp.float32) * act_scale
+            if use_pallas_1x1:
+                sc_h = _int8_conv_1x1_pallas(x8, blk["skip"], stride)
+            else:
+                sc_h = _int8_conv(x8, blk["skip"], stride, 0)
+            sc_c = _erfq_codes(sc_h, act_bits).astype(jnp.int32)
         else:
-            shortcut = out
+            sc_c = out_c
 
         h0 = _int8_conv(x8, blk["conv0"], stride, 1)
         a0 = _erfq_codes(h0, act_bits)  # act_q0
         r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
-        a1 = _erfq_codes(h1, act_bits).astype(jnp.float32) * act_scale  # act_q1
-        out = jax.nn.relu(a1 + shortcut)
+        a1_c = _erfq_codes(h1, act_bits).astype(jnp.int32)  # act_q1
+        out_c = jnp.maximum(a1_c + sc_c, 0)  # residual add + relu, in codes
 
-    feat = jnp.mean(out, axis=(1, 2))
+    # mean over 64 spatial positions is exact in f32 (int sum < 2^24, /64 is
+    # a power of two); one act_scale multiply rescales codes -> values
+    feat = jnp.mean(out_c.astype(jnp.float32), axis=(1, 2)) * act_scale
     return feat @ qparams["logit"]["kernel"] + qparams["logit"]["bias"]
 
 

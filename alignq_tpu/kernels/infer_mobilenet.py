@@ -9,9 +9,11 @@ production-site quantization scheme as infer.py:
 - act sites emit erf codes right after the fold, exactly like training;
 - ReLU6 after an act site is plain ReLU on codes: act values are bounded by
   act_range=2 < 6, so the 6-clamp can never bind (mobilenetV2.py:44,59-64);
-- stride-1 blocks add the act-quantized shortcut branch in f32 on the
-  shared ACT grid; block outputs (range ~[-2, 4]) requantize at S_RES for
-  the next block's 1x1 conv.
+- stride-1 blocks add the act-quantized shortcut branch as INTEGER CODES on
+  the shared ACT grid; block outputs (range ~[-2, 4]) requantize at S_RES
+  (m=2) for the next block's 1x1 conv in exact integer arithmetic
+  (kernels/infer.py _requant_codes) — bit-deterministic under any XLA
+  fusion (the float formulation ties at every odd code).
 """
 
 from __future__ import annotations
@@ -22,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from alignq_tpu.kernels.convert import QConvInt8, fold_conv_bn
-from alignq_tpu.kernels.infer import S_IMG, _act_g, _erfq_codes, _linear_q
+from alignq_tpu.kernels.infer import (
+    S_IMG,
+    _act_g,
+    _erfq_codes,
+    _linear_q,
+    _requant_codes,
+)
 
 # expansion cfg mirror (mobilenetV2.py:77-83)
 from alignq_tpu.models.mobilenetv2 import CFG
@@ -94,17 +102,23 @@ def convert_mobilenetv2(
 def mobilenetv2_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
 ) -> jax.Array:
-    act_scale = 2.0 / _act_g(act_bits)
-    s_res = 4.0 / _act_g(act_bits)
+    """The inter-block stream is carried as INT32 CODES in act_scale units
+    (stride-1 block outputs a3 + relu(sc) are grid-aligned sums, and the
+    S_RES requant ratio K/2 lands exactly on .5 ties at every odd K — a
+    float stream is fusion-nondeterministic there, exactly the ResNet-20
+    case; kernels/infer.py _requant_codes). signed=True: a3 has no trailing
+    relu, so block-output codes can be negative."""
+    g = _act_g(act_bits)
+    act_scale = 2.0 / g
 
     # stem: conv1 -> bn1 -> act_q1 -> relu (mobilenetV2.py:115-118)
     h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 1, 1)
-    out = jax.nn.relu(_erfq_codes(h, act_bits).astype(jnp.float32) * act_scale)
-    in_scale = act_scale
+    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int32), 0)
+    m_in = 1  # stream grid = m_in * act_scale (1 after bare act, 2 after residual)
 
     for blk in qparams["blocks"]:
         s = 1 if "shortcut" in blk else 2
-        x8 = _linear_q(out, in_scale)
+        x8 = _requant_codes(out_c, m_in, g, signed=True)
         planes = blk["conv2"].kernel_int8.shape[-1]
 
         h = _conv(x8, blk["conv1"], 1, 0)
@@ -116,20 +130,18 @@ def mobilenetv2_int8_forward(
         r = jnp.maximum(a, 0)
 
         h = _conv(r.astype(jnp.int8), blk["conv3"], 1, 0)
-        a3 = _erfq_codes(h, act_bits).astype(jnp.float32) * act_scale  # act_q3, no relu
+        a3_c = _erfq_codes(h, act_bits).astype(jnp.int32)  # act_q3, no relu
 
         if "shortcut" in blk:
             sc_h = _conv(x8, blk["shortcut"], 1, 0)
-            sc = jax.nn.relu(
-                _erfq_codes(sc_h, act_bits).astype(jnp.float32) * act_scale
-            )
-            out = a3 + sc
-            in_scale = s_res
+            sc_c = jnp.maximum(_erfq_codes(sc_h, act_bits).astype(jnp.int32), 0)
+            out_c = a3_c + sc_c  # range [-g, 2g] -> S_RES grid (m=2)
+            m_in = 2
         else:
-            out = a3
-            in_scale = act_scale
+            out_c = a3_c
+            m_in = 1
 
-    h = _conv(_linear_q(out, in_scale), qparams["conv2"], 1, 0)
-    out = jax.nn.relu(_erfq_codes(h, act_bits).astype(jnp.float32) * act_scale)
-    feat = jnp.mean(out, axis=(1, 2))
+    h = _conv(_requant_codes(out_c, m_in, g, signed=True), qparams["conv2"], 1, 0)
+    out = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int32), 0)
+    feat = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) * act_scale
     return feat @ qparams["linear"]["kernel"] + qparams["linear"]["bias"]

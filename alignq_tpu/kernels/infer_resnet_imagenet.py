@@ -8,8 +8,12 @@ Shadows models/resnet_imagenet.py (reference dann_office/model/resnet.py:
   (resnet.py:349-355) so its epilogue emits plain f32; residual add + relu
   in f32.
 - conv inputs after act sites reuse the codes losslessly; residual-sum
-  consumers requantize at S_RES; the image stem at S_IMG; maxpool preserves
-  the act grid (max of grid values is a grid value).
+  consumers requantize DYNAMICALLY (per-tensor max scale — the identity
+  branch is never act-quantized so the range is unbounded): in exact
+  integer arithmetic while the stream is grid-aligned (_dynamic_q_codes),
+  in f32 once a downsample epilogue makes it generic (_dynamic_q); the
+  image stem quantizes at S_IMG; maxpool runs on the integer codes (max of
+  grid values is the grid value of the max code).
 - Returns the pooled penultimate FEATURE (resnet.py:384-387); DANN/DSAN
   heads stay f32 (tiny matmuls).
 """
@@ -39,9 +43,39 @@ def _conv(x_int8, q, stride=1, padding=0, in_scale=None):
 
 
 def _dynamic_q(x):
-    """Per-tensor dynamic symmetric int8: returns (codes, scale)."""
+    """Per-tensor dynamic symmetric int8: returns (codes, scale).
+
+    For GENERIC f32 values only (rounding ties have measure zero there).
+    Grid-aligned code streams must use _dynamic_q_codes: their ratio
+    127*K/K_max lands exactly on .5 ties (e.g. K_max=2g saturated residual
+    sums -> every odd K), where a float round is fusion-nondeterministic
+    (kernels/infer.py _requant_codes)."""
     s = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
     return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8), s
+
+
+def _exact_floor_div(num, den):
+    """Exact integer floor(num/den) for a TRACED denominator without the
+    per-element software integer division XLA emits for `//` by a
+    non-constant (measured 25x on a whole graph): approximate in f32 (both
+    operands < 2^24, so they are exactly representable), then correct the
+    at-most-1-ulp quotient error with one exact integer multiply-compare —
+    the result is exact regardless of how XLA lowers the f32 divide."""
+    q = jnp.floor(
+        num.astype(jnp.float32) / den.astype(jnp.float32)
+    ).astype(jnp.int32)
+    r = num - q * den  # exact in int32
+    return q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
+def _dynamic_q_codes(k, act_scale):
+    """_dynamic_q of a grid-aligned stream (value = K*act_scale, K int32) in
+    EXACT integer arithmetic: codes = round-half-up(127*K/K_max), scale =
+    K_max*act_scale/127 — bit-deterministic under any XLA fusion."""
+    kmax = jnp.maximum(jnp.max(jnp.abs(k)), 1)
+    c = _exact_floor_div(2 * 127 * k + kmax, 2 * kmax)
+    c = jnp.clip(c, -127, 127).astype(jnp.int8)
+    return c, kmax.astype(jnp.float32) * (act_scale / 127.0)
 
 
 def convert_resnet_imagenet(
@@ -88,24 +122,40 @@ def convert_resnet_imagenet(
 def resnet_imagenet_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
 ) -> jax.Array:
-    import flax.linen as nn
-
+    """The residual stream starts as INT32 CODES (act grid) and stays
+    integer until the first downsample mixes in a non-act-quantized f32
+    epilogue (structural, so the branching is trace-time): layer1 of
+    ResNet-18/34 and the first block input of every net are grid-aligned,
+    where a float dynamic requant is fusion-nondeterministic (ties at
+    127*K/K_max; see _dynamic_q_codes). From the first downsample onward the
+    stream is generic f32 (ties measure zero) and the float path is safe."""
     act_scale = 2.0 / _act_g(act_bits)
 
-    # stem: conv1 7x7 s2 -> bn -> act_q0 -> relu -> maxpool
+    # stem: conv1 7x7 s2 -> bn -> act_q0 -> relu -> maxpool (on codes: max
+    # of grid values == grid value of max code)
     h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 2, 3)
-    out = jax.nn.relu(_erfq_codes(h, act_bits).astype(jnp.float32) * act_scale)
-    out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int32), 0)
+    out_c = jax.lax.reduce_window(
+        out_c, jnp.iinfo(jnp.int32).min, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    out_f = None  # f32 stream once a downsample epilogue enters the residual
 
     for blk in qparams["layers"]:
         is_bottleneck = "conv3" in blk
         # stride sits on conv2 (and downsample); structural: a downsample at
         # a stage boundary means stride 2 except the very first block
         stride = 2 if ("downsample" in blk and blk is not qparams["layers"][0]) else 1
-        x8, s_in = _dynamic_q(out)
-        identity = out
+        if out_c is not None:
+            x8, s_in = _dynamic_q_codes(out_c, act_scale)
+        else:
+            x8, s_in = _dynamic_q(out_f)
+
         if "downsample" in blk:
-            identity = _conv(x8, blk["downsample"], stride, 0, s_in)  # no act quant
+            identity_f = _conv(x8, blk["downsample"], stride, 0, s_in)  # no act quant
+            identity_c = None
+        else:
+            identity_c, identity_f = out_c, out_f
 
         if is_bottleneck:
             h = _conv(x8, blk["conv1"], 1, 0, s_in)  # 1x1; stride sits on conv2
@@ -121,10 +171,18 @@ def resnet_imagenet_int8_forward(
             h = _conv(r.astype(jnp.int8), blk["conv3"], 1, 0)
         else:
             h = _conv(r.astype(jnp.int8), blk["conv2"], 1, 1)
-        a_last = _erfq_codes(h, act_bits).astype(jnp.float32) * act_scale  # no relu
-        out = jax.nn.relu(a_last + identity)
+        a_last_c = _erfq_codes(h, act_bits).astype(jnp.int32)  # no relu
+        if identity_c is not None:
+            out_c, out_f = jnp.maximum(a_last_c + identity_c, 0), None
+        else:
+            out_f = jax.nn.relu(
+                a_last_c.astype(jnp.float32) * act_scale + identity_f
+            )
+            out_c = None
 
-    return jnp.mean(out, axis=(1, 2))
+    if out_c is not None:
+        return jnp.mean(out_c.astype(jnp.float32), axis=(1, 2)) * act_scale
+    return jnp.mean(out_f, axis=(1, 2))
 
 
 def dann_int8_forward(

@@ -61,9 +61,12 @@ class PreActBlock(nn.Module):
     channelwise: bool = False
     mxu_dtype: jnp.dtype | None = None
     # deploy-exact requantization of this block's input (QAT->deploy gap
-    # closure): fake-quantize the residual input on the grid the INT graph
-    # uses (kernels/infer.py residual_bounds). None = off.
-    requant_scale: float | None = None
+    # closure): fake-quantize the conv0/skip input on the grid the INT graph
+    # uses — m * act_scale, m from kernels/infer.py residual_multipliers —
+    # with the same exact integer rounding (quant/ste.py requant_grid_ste).
+    # The identity shortcut stays UN-requantized, exactly as the INT graph
+    # adds the full-resolution residual codes. None = off.
+    requant_m: int | None = None
     requant_g: int = 127
 
     def _conv(self, features, kernel_size, stride, padding, name):
@@ -97,24 +100,29 @@ class PreActBlock(nn.Module):
         ordering = ORDERING[self.method]
         ura = not train
 
-        if self.requant_scale is not None:
-            from alignq_tpu.quant.ste import requant_ste
+        xq = x
+        if self.requant_m is not None:
+            from alignq_tpu.quant.ste import requant_grid_ste
 
-            x = requant_ste(x, self.requant_scale, self.requant_g)
+            xq = requant_grid_ste(
+                x, self.act_range / self.requant_g, self.requant_m, self.requant_g
+            )
 
         conv0 = self._conv(self.out_planes, (3, 3), self.stride, 1, "conv0")
         conv1 = self._conv(self.out_planes, (3, 3), 1, 1, "conv1")
 
         if self.stride != 1:
             skip = self._conv(self.out_planes, (1, 1), self.stride, 0, "skip_conv")
-            shortcut = skip(x)
+            shortcut = skip(xq)
             shortcut = BatchNorm(ura, name="skip_bn")(shortcut)
             if ordering in ("ours", "after"):
                 shortcut = self._act("act_skip_q")(shortcut, compute_corr)
         else:
+            # identity shortcut bypasses the requant — the INT graph adds the
+            # full-resolution residual codes (kernels/infer.py sc_c = out_c)
             shortcut = x
 
-        out = conv0(x)
+        out = conv0(xq)
         out = BatchNorm(ura, name="bn0")(out)
         if ordering == "ours":
             # conv -> bn -> act_q -> relu (resnet.py:87-90)
@@ -225,17 +233,13 @@ class PreActResNet(nn.Module):
             + [32] * self.num_units[1]
             + [64] * self.num_units[2]
         )
-        requant_scales = [None] * len(strides)
+        requant_ms = [None] * len(strides)
         requant_g = 127
         if self.deploy_exact:
-            from alignq_tpu.kernels.infer import residual_bounds
+            from alignq_tpu.kernels.infer import residual_multipliers
 
             requant_g = 2 ** (self.a_bit - 1) - 1
-            requant_scales = [
-                b / requant_g
-                for b in residual_bounds([s != 1 for s in strides],
-                                         act_range=self.act_range)
-            ]
+            requant_ms = residual_multipliers([s != 1 for s in strides])
         for i, (stride, channel) in enumerate(zip(strides, channels)):
             w_bit = self.w_bit if self.block_bits is None else self.block_bits[i]
             out = PreActBlock(
@@ -249,7 +253,7 @@ class PreActResNet(nn.Module):
                 admm=self.admm,
                 channelwise=self.channelwise,
                 mxu_dtype=self.mxu_dtype,
-                requant_scale=requant_scales[i],
+                requant_m=requant_ms[i],
                 requant_g=requant_g,
                 name=f"layers_{i}",
             )(out, train, compute_corr)

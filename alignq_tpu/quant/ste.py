@@ -20,6 +20,8 @@ ties exact and the vjp branch deterministic everywhere.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -86,14 +88,58 @@ def uniform_quantize(x: jax.Array, k: int, n: int | None = None) -> jax.Array:
     return round_ste(x * n) * (1.0 / n)
 
 
+def _requant_grid(x: jax.Array, act_scale: float, m: int, g: int) -> jax.Array:
+    k = jnp.round(x * (1.0 / act_scale)).astype(jnp.int32)
+    c = jnp.clip((2 * k + m) // (2 * m), 0, g)
+    return c.astype(x.dtype) * (m * act_scale)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def requant_grid_ste(x: jax.Array, act_scale: float, m: int, g: int) -> jax.Array:
+    """Deploy-exact residual requantization on an act-grid-aligned stream.
+
+    The residual stream entering a ResNet block is a relu'd sum of act-grid
+    values — exactly K*act_scale for an integer K >= 0 — and the INT graph
+    requantizes it onto the block-input grid m*act_scale (m = bound /
+    act_range, an integer; kernels/infer.py residual_multipliers). A float
+    formulation round(x/scale) computes K/m +- ulp, and K/m lands EXACTLY on
+    .5 rounding ties for even m (odd K): which side the fp error falls on
+    depends on XLA's fusion choices, measured as ~26% fusion-dependent code
+    flips on TPU (jit vs stepwise of the SAME graph). This instead recovers
+    K exactly (the stream's fp error is << act_scale/2), requants in integer
+    space with round-half-up c = (2K+m) // (2m) — bit-deterministic under
+    any fusion, and bit-identical to the INT graph's _requant_codes — and
+    returns c * (m*act_scale).
+
+    Gradient: straight-through inside [0, g*m*act_scale], zero beyond the
+    saturation bound (which the exact per-block bounds never reach).
+    """
+    return _requant_grid(x, act_scale, m, g)
+
+
+def _requant_grid_fwd(x, act_scale, m, g):
+    return _requant_grid(x, act_scale, m, g), x
+
+
+def _requant_grid_bwd(act_scale, m, g, x, grad):
+    mask = (x >= 0) & (x <= g * m * act_scale)
+    return (jnp.where(mask, grad, 0.0),)
+
+
+requant_grid_ste.defvjp(_requant_grid_fwd, _requant_grid_bwd)
+
+
 def requant_ste(x: jax.Array, scale: float, g: int) -> jax.Array:
     """Deploy-exact linear requantization fake-quant (STE).
 
-    Mirrors the INT inference graph's `_linear_q` requant sites
+    Mirrors the INT inference graph's `_linear_q` stem-input site
     (kernels/infer.py): value = clip(round(x/scale), -g, g) * scale. Used by
-    the deploy-exact QAT mode so training sees exactly the stem-input and
-    residual-sum requantization the deployed integer graph performs (the
-    train!=deploy error source documented at kernels/infer.py:14-26).
+    the deploy-exact QAT mode so training sees the stem-input requantization
+    the deployed integer graph performs (the train!=deploy error source
+    documented at kernels/infer.py:14-26). Safe here because the input is
+    real image data — rounding ties have measure zero; grid-aligned residual
+    streams must use `requant_grid_ste` instead (exact ties at every odd
+    code for even m).
 
     Gradient: identity inside the clip range, 0 where saturated (the clip is
     an ordinary autodiff op on the continuous value; only the rounding is

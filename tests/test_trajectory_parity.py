@@ -94,6 +94,10 @@ class TestTrajectoryParity:
         jnet = JaxNet()
         x0 = jnp.asarray(xs[0].transpose(0, 2, 3, 1))
         variables = jnet.init(jax.random.PRNGKey(0), x0, train=False)
+        # seed torch's GLOBAL rng: the init snapshot must not depend on how
+        # much torch rng earlier tests consumed (the f32 tolerance below is
+        # only safe away from STE rounding boundaries, which is init-dependent)
+        torch.manual_seed(0)
         t2 = TorchNet()
         snap = {n: p.detach().clone() for n, p in t2.named_parameters()}
         params = {
