@@ -182,6 +182,14 @@ class QConv(nn.Module):
                 # dtype-polymorphic — f64 runs (x64 parity tests) accumulate
                 # in f64; the f32 default is unchanged
                 preferred_element_type=lhs.dtype,
+                # TPU's DEFAULT conv precision feeds the MXU bf16 operands —
+                # ~1e-2 relative error vs the reference's true-f32 torch conv
+                # AND vs the exact-integer INT graph: at W4A4 that flips act
+                # codes (1/7 of the range each) and cost 6.6 pts of
+                # train-vs-deploy prediction agreement on hardware. HIGHEST =
+                # multi-pass true f32. Deliberate bf16 speed stays opt-in via
+                # mxu_dtype above.
+                precision=jax.lax.Precision.HIGHEST,
             )
         if self.use_bias:
             bias = self.param(
@@ -210,7 +218,11 @@ class QDense(nn.Module):
             wq = quantize_weight(kernel, self.w_bit, variant=self.variant).wq
         else:
             wq = kernel
-        y = jnp.dot(x, wq, preferred_element_type=x.dtype)
+        # HIGHEST: true-f32 matmul on TPU (see QConv precision note)
+        y = jnp.dot(
+            x, wq, preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         if self.use_bias:
             bias = self.param("bias", _torch_bias_init(in_features), (self.features,))
             y = y + bias
