@@ -50,6 +50,11 @@ def _build_distributed(cfg: TrainConfig, model, state):
     - corr_mode='local': shard_map step with per-shard block-diagonal corr and
       per-shard duals, explicit compressed gradient pmean
       (cfg.grad_compression -> dist/collectives.py).
+    - a 'model' axis of size > 1 (e.g. --mesh 4 2) additionally shards conv/
+      dense kernels on output channels (dist/sharding.py param_shardings) —
+      tensor-parallel QAT training; GSPMD propagates the layout through the
+      step and places the channel collectives (gather mode only: 'local'
+      shards duals over the data axis and is DP-specific).
     """
     from alignq_tpu.dist import make_mesh, shard_batch
     from alignq_tpu.dist.corr import create_local_duals, make_local_corr_train_step
@@ -70,6 +75,22 @@ def _build_distributed(cfg: TrainConfig, model, state):
         if batch[0].shape[0] % n_data == 0:
             return place_train(batch)
         return batch
+
+    n_model = dict(mesh.shape).get("model", 1)
+    if n_model > 1:
+        if cfg.corr_mode != "gather":
+            raise ValueError(
+                "tensor-parallel training (model axis > 1) requires "
+                "corr_mode='gather'; 'local' shards corr duals over the "
+                "data axis only"
+            )
+        from alignq_tpu.dist.sharding import param_shardings
+
+        state = state.replace(
+            params=jax.device_put(
+                state.params, param_shardings(state.params, mesh)
+            )
+        )
 
     if cfg.corr_mode == "local":
         if cfg.admm:

@@ -70,6 +70,48 @@ class TestGatherMode:
             )
 
 
+class TestTensorParallelTraining:
+    def test_tp_matches_single_device(self, tmp_path):
+        """DPxTP fit (mesh 2x4, kernels output-channel-sharded over 'model')
+        reproduces the single-device update at 32-bit — the TP-training
+        analog of TestGatherMode (round-1 parallelism census: 'TP training
+        never exercised')."""
+        cfg1 = base_cfg(tmp_path / "single", mesh_shape=(1,), bitW=32, abitW=32)
+        cfgT = base_cfg(
+            tmp_path / "tp", mesh_shape=(2, 4), mesh_axes=("data", "model"),
+            corr_mode="gather", bitW=32, abitW=32,
+        )
+        r1 = fit(cfg1, tiny_data(), max_steps=2)
+        rT = fit(cfgT, tiny_data(), max_steps=2)
+        for a, b in zip(
+            jax.tree.leaves(r1["state"].params), jax.tree.leaves(rT["state"].params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_tp_quantized_smoke_and_sharded_kernels(self, tmp_path):
+        """4-bit QAT trains under TP and the conv kernels really are
+        channel-sharded on the 'model' axis (not silently replicated)."""
+        cfg = base_cfg(
+            tmp_path, mesh_shape=(1, 8), mesh_axes=("data", "model"),
+            corr_mode="gather",
+        )
+        result = fit(cfg, tiny_data(), max_steps=2)
+        kernel = result["state"].params["layers_3"]["conv0"]["kernel"]
+        spec = kernel.sharding.spec
+        assert "model" in jax.tree.leaves(tuple(spec)), spec
+        assert np.isfinite(np.asarray(kernel)).all()
+
+    def test_tp_local_mode_raises(self, tmp_path):
+        cfg = base_cfg(
+            tmp_path, mesh_shape=(2, 4), mesh_axes=("data", "model"),
+            corr_mode="local",
+        )
+        with pytest.raises(ValueError, match="tensor-parallel"):
+            fit(cfg, tiny_data())
+
+
 class TestLocalMode:
     def test_trains_and_roundtrips(self, tmp_path):
         cfg = base_cfg(
