@@ -73,8 +73,11 @@ def scale_by_alignq_correction(
     """Multiply (masked) updates by the AlignQ analytic correction.
 
     mask: pytree of bools matching params (True = corrected leaf), a callable
-    params -> bool pytree, or None (correct every leaf). Defaults lam=1,
-    lam2=4 from reference utils/options.py:85-89.
+    params -> bool pytree, or None — which corrects every WEIGHT-LIKE leaf
+    (ndim >= 2): 1-D/0-D leaves (biases, BN scale/shift) are never
+    CDF-quantized, and on a constant leaf (zero-init bias, ones-init BN
+    scale) tensor_stats' std is 0, so the correction there is NaN by
+    construction. Defaults lam=1, lam2=4 from reference utils/options.py:85-89.
     """
     if w_bit >= 32 or not apply_to_update:
         return optax.identity()
@@ -94,12 +97,8 @@ def scale_by_alignq_correction(
             return u * correction_factor(w, w_bit, lam, lam2, channelwise)
 
         if m is None:
-            new_updates = jax.tree.map(
-                lambda u, w: u * correction_factor(w, w_bit, lam, lam2, channelwise),
-                updates, params,
-            )
-        else:
-            new_updates = jax.tree.map(correct, updates, params, m)
+            m = jax.tree.map(lambda w: jnp.ndim(w) >= 2, params)
+        new_updates = jax.tree.map(correct, updates, params, m)
         return new_updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
