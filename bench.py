@@ -6,8 +6,11 @@ Prints ONE JSON line:
 The reference publishes no throughput numbers (fake-quant only, single GPU;
 see BASELINE.md) — `vs_baseline` is therefore the fraction of the chip's
 compute roofline achieved, normalized to the BASELINE.json north-star target
-of 90% roofline (1.0 == target met). FLOPs are taken from XLA's own cost
-analysis of the compiled program, peak from the TPU generation.
+of 90% roofline (1.0 == target met). FLOPs are ANALYTIC (2*Kh*Kw*Cin*Cout*
+Ho*Wo per conv, summed over the ResNet-20 topology), peak from the TPU
+generation — XLA's cost-analysis FLOPs were tried and rejected: its count
+exceeded the analytic one ~2.3x (it bills every op, padding included), which
+inflated vs_baseline past the nominal int8 peak (round-1 VERDICT weak #5).
 
 Uses the fastest available inference path: the Pallas fused int8 path when
 present (alignq_tpu.kernels), else the bf16-MXU fake-quant path.
@@ -24,6 +27,26 @@ import jax.numpy as jnp
 # per-chip peak (dense) — TPU v5e: 197 TFLOP/s bf16, 394 TOP/s int8
 PEAKS = {"bf16": 197e12, "int8": 394e12}
 TARGET_ROOFLINE_FRACTION = 0.90  # BASELINE.json north star
+
+
+def resnet20_analytic_flops(batch: int) -> float:
+    """2*Kh*Kw*Cin*Cout*Ho*Wo per conv over the PreAct ResNet-20 topology
+    (stem 3x3x3x16@32x32; 3 stages of 3 blocks with two 3x3 convs each at
+    16/32/64 channels and 32/16/8 spatial; 1x1 stride-2 skips at the two
+    stage boundaries; 64x10 head)."""
+    flops = 2 * 3 * 3 * 3 * 16 * 32 * 32  # stem
+    in_c, hw = 16, 32
+    for stage, c in enumerate((16, 32, 64)):
+        for b in range(3):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            if stride == 2:
+                hw //= 2
+                flops += 2 * 1 * 1 * in_c * c * hw * hw  # skip 1x1
+            flops += 2 * 3 * 3 * in_c * c * hw * hw  # conv0
+            flops += 2 * 3 * 3 * c * c * hw * hw  # conv1
+            in_c = c
+    flops += 2 * 64 * 10  # head
+    return float(flops * batch)
 
 
 def build_forward(batch: int):
@@ -53,10 +76,7 @@ def main():
     batch = 1024
     path, fwd, args, peak = build_forward(batch)
 
-    lowered = fwd.lower(*args)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    flops_total = float((cost or {}).get("flops", 0.0))
+    flops_total = resnet20_analytic_flops(batch)
 
     # Methodology note: async host dispatch pipelines with device compute,
     # so timing a burst of N calls and dividing measures steady-state
