@@ -8,7 +8,9 @@ Faithfully shadows the QAT ('ours') forward (resnet.py:78-98, 145-160):
   like training: codes = round(clip(erf(h/sqrt2), -1, 1) * 127) — the value
   is ACT_SCALE*codes, the canonical-int8 form of the reference's
   fake-quant grid (SURVEY.md section 2.4.6).
-- relu / residual adds run on INTEGER CODES (int32, act_scale units) — all
+- relu / residual adds run on INTEGER CODES (int16, act_scale units; max
+  |K| = 4*g = 508 — int16 halves the residual stream's HBM traffic, the
+  graph's largest tensors) — all
   inter-site values are exact multiples of ACT_SCALE by construction, and a
   float-valued stream is fusion-nondeterministic at the requant ties (see
   _requant_codes). Value semantics are identical to training's f32 adds.
@@ -109,7 +111,8 @@ def _linear_q(x: jax.Array, scale: float) -> jax.Array:
 def _requant_codes(k: jax.Array, m: int, g: float, signed: bool = False) -> jax.Array:
     """Residual-stream requantization in EXACT integer arithmetic.
 
-    The residual stream is carried as int32 codes K >= 0 in act_scale units;
+    The residual stream is carried as integer codes K >= 0 in act_scale
+    units (int16 storage — |K| <= 508);
     the block-input grid is m*act_scale (m = residual_multipliers entry), so
     the target code is round(K/m) — which lands exactly on .5 ties for even
     m (every odd K). Rounding those ties in float is fusion-nondeterministic
@@ -129,10 +132,12 @@ def _requant_codes(k: jax.Array, m: int, g: float, signed: bool = False) -> jax.
     graph. Callers derive m from the static block structure
     (residual_multipliers), never from a jitted-arg pytree leaf."""
     assert isinstance(m, int), "m must be static (see docstring)"
-    lo = jnp.int32(-g) if signed else 0
+    gi = int(g)
+    lo = -gi if signed else 0
+    k = k.astype(jnp.int32)  # headroom for 2K+m (inputs are int16 storage)
     if m == 1:  # lossless pass-through (e.g. block 0): round(K/1) == K
-        return jnp.clip(k, lo, jnp.int32(g)).astype(jnp.int8)
-    return jnp.clip((2 * k + m) // (2 * m), lo, jnp.int32(g)).astype(jnp.int8)
+        return jnp.clip(k, lo, gi).astype(jnp.int8)
+    return jnp.clip((2 * k + m) // (2 * m), lo, gi).astype(jnp.int8)
 
 
 def _int8_conv_1x1_pallas(x_int8: jax.Array, q: QConvInt8, stride: int = 1):
@@ -254,7 +259,7 @@ def resnet20_int8_forward(
     ms = residual_multipliers(["skip" in blk for blk in qparams["layers"]])
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int32), 0)
+    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
 
     for blk, m in zip(qparams["layers"], ms):
         stride = 2 if "skip" in blk else 1
@@ -267,7 +272,7 @@ def resnet20_int8_forward(
                 sc_h = _int8_conv_1x1_pallas(x8, blk["skip"], stride)
             else:
                 sc_h = _int8_conv(x8, blk["skip"], stride, 0)
-            sc_c = _erfq_codes(sc_h, act_bits).astype(jnp.int32)
+            sc_c = _erfq_codes(sc_h, act_bits).astype(jnp.int16)
         else:
             sc_c = out_c
 
@@ -275,7 +280,7 @@ def resnet20_int8_forward(
         a0 = _erfq_codes(h0, act_bits)  # act_q0
         r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
-        a1_c = _erfq_codes(h1, act_bits).astype(jnp.int32)  # act_q1
+        a1_c = _erfq_codes(h1, act_bits).astype(jnp.int16)  # act_q1
         out_c = jnp.maximum(a1_c + sc_c, 0)  # residual add + relu, in codes
 
     # mean over 64 spatial positions is exact in f32 (int sum < 2^24, /64 is

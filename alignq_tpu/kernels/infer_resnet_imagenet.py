@@ -72,6 +72,7 @@ def _dynamic_q_codes(k, act_scale):
     """_dynamic_q of a grid-aligned stream (value = K*act_scale, K int32) in
     EXACT integer arithmetic: codes = round-half-up(127*K/K_max), scale =
     K_max*act_scale/127 — bit-deterministic under any XLA fusion."""
+    k = k.astype(jnp.int32)  # headroom: 254*K overflows the int16 stream dtype
     kmax = jnp.maximum(jnp.max(jnp.abs(k)), 1)
     c = _exact_floor_div(2 * 127 * k + kmax, 2 * kmax)
     c = jnp.clip(c, -127, 127).astype(jnp.int8)
@@ -122,7 +123,7 @@ def convert_resnet_imagenet(
 def resnet_imagenet_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
 ) -> jax.Array:
-    """The residual stream starts as INT32 CODES (act grid) and stays
+    """The residual stream starts as INT16 CODES (act grid) and stays
     integer until the first downsample mixes in a non-act-quantized f32
     epilogue (structural, so the branching is trace-time): layer1 of
     ResNet-18/34 and the first block input of every net are grid-aligned,
@@ -134,9 +135,9 @@ def resnet_imagenet_int8_forward(
     # stem: conv1 7x7 s2 -> bn -> act_q0 -> relu -> maxpool (on codes: max
     # of grid values == grid value of max code)
     h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 2, 3)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int32), 0)
+    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
     out_c = jax.lax.reduce_window(
-        out_c, jnp.iinfo(jnp.int32).min, jax.lax.max,
+        out_c, jnp.int16(jnp.iinfo(jnp.int16).min), jax.lax.max,
         (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
     out_f = None  # f32 stream once a downsample epilogue enters the residual
@@ -171,7 +172,7 @@ def resnet_imagenet_int8_forward(
             h = _conv(r.astype(jnp.int8), blk["conv3"], 1, 0)
         else:
             h = _conv(r.astype(jnp.int8), blk["conv2"], 1, 1)
-        a_last_c = _erfq_codes(h, act_bits).astype(jnp.int32)  # no relu
+        a_last_c = _erfq_codes(h, act_bits).astype(jnp.int16)  # no relu
         if identity_c is not None:
             out_c, out_f = jnp.maximum(a_last_c + identity_c, 0), None
         else:

@@ -7,13 +7,29 @@ The reference publishes no throughput numbers (fake-quant only, single GPU;
 see BASELINE.md) — `vs_baseline` is therefore the fraction of the chip's
 compute roofline achieved, normalized to the BASELINE.json north-star target
 of 90% roofline (1.0 == target met). FLOPs are ANALYTIC (2*Kh*Kw*Cin*Cout*
-Ho*Wo per conv, summed over the ResNet-20 topology), peak from the TPU
-generation — XLA's cost-analysis FLOPs were tried and rejected: its count
-exceeded the analytic one ~2.3x (it bills every op, padding included), which
-inflated vs_baseline past the nominal int8 peak (round-1 VERDICT weak #5).
+Ho*Wo per conv, summed over the ResNet-20 topology).
 
-Uses the fastest available inference path: the Pallas fused int8 path when
-present (alignq_tpu.kernels), else the bf16-MXU fake-quant path.
+MEASUREMENT METHODOLOGY (round-2 correction — this invalidated every earlier
+headline number):
+
+On this remote-TPU backend (axon tunnel), `jax.block_until_ready` does NOT
+wait for remote execution — measured: block returned in 0.4 ms while the
+subsequent value fetch of the same output took 15.3 s. Every streamed-
+dispatch timing built on block_until_ready therefore measured dispatch rate,
+not compute: the round-1 "7.8–13.3M img/s" implied 2.3–21x the chip's
+nominal 394 int8 TOPS, which is physically impossible for one chip.
+
+Correct protocol, used here:
+  1. ONE jitted program containing N data-dependent forwards (each input is
+     perturbed by the previous output, so the device cannot parallelize or
+     elide them).
+  2. Time to an ACTUAL VALUE FETCH (np.asarray of the scalar output) — the
+     only operation this backend is guaranteed to synchronize on.
+  3. Run two program sizes N1 < N2 and difference: dt = (t2-t1)/(N2-N1),
+     cancelling RPC/transfer overhead.
+Validation: the same protocol on a 4096^3 int8 matmul measures 428 TOPS =
+~109% of the nominal v5e peak (spec-level, as it must be); the earlier
+block_until_ready numbers are unreproducible under it.
 """
 
 from __future__ import annotations
@@ -23,6 +39,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # per-chip peak (dense) — TPU v5e: 197 TFLOP/s bf16, 394 TOP/s int8
 PEAKS = {"bf16": 197e12, "int8": 394e12}
@@ -50,14 +67,14 @@ def resnet20_analytic_flops(batch: int) -> float:
 
 
 def build_forward(batch: int):
-    """Returns (name, jitted_fn, args, peak_flops)."""
+    """Returns (name, step_fn(qargs..., x)->logits, args, peak_flops)."""
     from alignq_tpu.models import resnet20_quant
 
-    path = "bf16"
     try:
         from alignq_tpu.kernels import infer as qinfer  # int8 path, if present
 
-        return ("int8", *qinfer.build_resnet20_int8(batch), PEAKS["int8"])
+        _, (qparams, x) = qinfer.build_resnet20_int8(batch)
+        return ("int8", qinfer.resnet20_int8_forward, (qparams, x), PEAKS["int8"])
     except Exception:
         pass
 
@@ -65,37 +82,51 @@ def build_forward(batch: int):
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(1), x, train=False)
 
-    @jax.jit
     def fwd(variables, x):
         return model.apply(variables, x, train=False)
 
-    return path, fwd, (variables, x), PEAKS["bf16"]
+    return ("bf16", fwd, (variables, x), PEAKS["bf16"])
+
+
+def make_chain(step_fn, n: int):
+    """One jitted program: n data-dependent forwards (un-elidable,
+    un-parallelizable), scalar output."""
+
+    @jax.jit
+    def prog(qargs, x):
+        acc = 0.0
+        for _ in range(n):
+            logits = step_fn(qargs, x)
+            s = jnp.mean(logits) * 1e-6
+            x = x + s  # next input depends on this forward's output
+            acc = acc + s
+        return acc
+
+    return prog
+
+
+def timed_fetch(prog, qargs, x, reps: int = 3) -> float:
+    """min wall time from dispatch to VALUE FETCH of the scalar output."""
+    _ = np.asarray(prog(qargs, x))  # compile + settle
+    best = float("inf")
+    for r in range(reps):
+        xr = x + jnp.float32(r)
+        _ = np.asarray(jnp.mean(xr))  # settle the input upload
+        t0 = time.perf_counter()
+        _ = np.asarray(prog(qargs, xr))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
     batch = 1024
-    path, fwd, args, peak = build_forward(batch)
-
+    path, step_fn, (qargs, x), peak = build_forward(batch)
     flops_total = resnet20_analytic_flops(batch)
 
-    # Methodology note: async host dispatch pipelines with device compute,
-    # so timing a burst of N calls and dividing measures steady-state
-    # serving throughput. (An in-graph fori_loop variant was tried and
-    # rejected: on this remote-TPU backend XLA's loop lowering serializes
-    # the Pallas stages ~100x slower than the streamed dispatch path.)
-    # Take the median of several bursts — tunnel latency is variable.
-    jax.block_until_ready(fwd(*args))
-    jax.block_until_ready(fwd(*args))
-
-    iters, bursts = 30, 5
-    samples = []
-    for _ in range(bursts):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(*args)
-        jax.block_until_ready(out)
-        samples.append((time.perf_counter() - t0) / iters)
-    dt = sorted(samples)[len(samples) // 2]
+    n1, n2 = 8, 40
+    t1 = timed_fetch(make_chain(step_fn, n1), qargs, x)
+    t2 = timed_fetch(make_chain(step_fn, n2), qargs, x)
+    dt = (t2 - t1) / (n2 - n1)
 
     images_per_sec = batch / dt
     achieved_flops = flops_total / dt if flops_total else 0.0
