@@ -1,11 +1,18 @@
 """Pallas vs XLA head-to-head on the INT8 ResNet-20 sites (VERDICT.md
 round-1 item 4).
 
-Per-site micro-benchmarks (same-process, median-of-bursts — TPU timing
-varies ~30% between processes, CLAUDE.md) plus the end-to-end int8 graph
-with the 1x1 skip convs routed through the fused Pallas int8 matmul
-(kernels/qmatmul.py) vs XLA's conv_general_dilated. Prints one JSON line
-per measurement; paste the table into ARCHITECTURE.md.
+Per-site micro-benchmarks plus the end-to-end int8 graph with the 1x1
+skip convs routed through the fused Pallas int8 matmul (kernels/qmatmul.py)
+vs XLA's conv_general_dilated. Prints one JSON line per measurement; the
+curated table lives in ARCHITECTURE.md.
+
+TIMING CAVEAT: the burst timings here use block_until_ready, which this
+backend does not honor (bench.py methodology note) — treat them ONLY as a
+same-process relative A/B of identically-dispatched graphs, never as
+absolute throughput. The e2e verdict (XLA 1.32x faster than Pallas-1x1)
+was independently CONFIRMED under the honest value-fetch chained protocol
+(ARCHITECTURE.md "honest performance picture" table); the bit-identity
+check below fetches values and is always valid.
 
     python tools/pallas_vs_xla.py          # ambient env -> real TPU
 """
