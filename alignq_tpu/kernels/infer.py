@@ -90,13 +90,26 @@ def _act_g(act_bits: int) -> float:
     return float(grid_max(act_bits))
 
 
-def _erfq_codes(h: jax.Array, act_bits: int = 8) -> jax.Array:
-    """Act-site quantization codes: round(erf(h/sqrt2) * g) in int8 storage
+def _erfq_codes(h: jax.Array, act_bits: int = 8, impl: str = "erf") -> jax.Array:
+    """Act-site quantization codes: round(c(h) * g) in int8 storage
     (g = 127 for A8, 7 for A4).
+
+    impl='erf':  c = erf(h/sqrt2), the reference-exact CDF (default).
+    impl='poly': c = ERF_SQRT2_POLY(h) (quant/cdf.py) — the TPU fast path
+      (~11 VPU ops vs ~25-30 for XLA's f32 erf; the erf epilogues are the
+      INT8 graph's single largest cost, tools/int8_breakdown.py). MUST pair
+      with a QAT run using QuantAct(cdf_impl='poly') — the poly is a
+      self-consistent alternative quantizer grid, and mixing grids between
+      train and deploy flips ~0.005% of codes.
 
     Elementwise — XLA fuses it into the preceding conv's epilogue."""
     g = _act_g(act_bits)
-    c = jax.lax.erf(h / _SQRT2)
+    if impl == "erf":
+        c = jax.lax.erf(h / _SQRT2)
+    else:
+        from alignq_tpu.quant.cdf import erf_sqrt2
+
+        c = erf_sqrt2(h, impl)
     return jnp.clip(jnp.round(c * g), -g, g).astype(jnp.int8)
 
 
@@ -159,6 +172,37 @@ def _int8_conv_1x1_pallas(x_int8: jax.Array, q: QConvInt8, stride: int = 1):
         x_int8.reshape(-1, cin), kmat, q.scale, q.bias
     )
     return y.reshape(b, h, w, -1)
+
+
+def _int8_conv_merged_skip(x_int8: jax.Array, q0: QConvInt8, qs: QConvInt8, stride: int):
+    """Stage-boundary conv0 (3x3, pad 1) and skip (1x1, pad 0) fused into ONE
+    conv over concatenated output channels.
+
+    Both consume the same requantized x8 at the same stride; a 1x1 pad-0
+    conv equals a 3x3 pad-1 conv whose kernel is zero except the center tap
+    (output (i,j) reads x[si, sj] either way). Concatenating the padded skip
+    kernel onto conv0's output channels therefore computes BIT-IDENTICAL
+    int32 accumulators in one MXU pass: Cout doubles (32->64 / 64->128 of
+    the 128 MXU lanes, vs <=50% for each half alone), x8 is read from HBM
+    once instead of twice, and one kernel launch disappears. The per-channel
+    scale/bias epilogues concatenate alongside, so the dequantized halves
+    match `_int8_conv(x8, q0/qs)` exactly (test_kernels bitwise test).
+    """
+    ks3 = jnp.pad(qs.kernel_int8, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    km = jnp.concatenate([q0.kernel_int8, ks3], axis=3)
+    acc = jax.lax.conv_general_dilated(
+        x_int8,
+        km,
+        window_strides=(stride, stride),
+        padding=[(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = jnp.concatenate([q0.scale, qs.scale])
+    bias = jnp.concatenate([q0.bias, qs.bias])
+    h = acc.astype(jnp.float32) * scale + bias
+    c0 = q0.kernel_int8.shape[3]
+    return h[..., :c0], h[..., c0:]
 
 
 def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
@@ -234,13 +278,25 @@ def convert_preact_resnet(
 
 def resnet20_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
-    use_pallas_1x1: bool = False,
+    use_pallas_1x1: bool = False, fuse_skip: bool = False,
+    act_impl: str = "erf",
 ) -> jax.Array:
     """INT forward shadowing the 'ours' QAT graph value-for-value.
 
     act_bits is static; pass the same value used in convert_resnet20.
     use_pallas_1x1 routes the 1x1 skip convs through the fused Pallas int8
     matmul instead of XLA's conv (head-to-head in ARCHITECTURE.md).
+    fuse_skip merges each stage-boundary skip conv into its conv0 as one
+    double-width MXU pass (_int8_conv_merged_skip — bit-identical logits;
+    ignored under use_pallas_1x1, which routes the skip elsewhere).
+    MEASURED AND REJECTED as the default: same-process honest A/B at batch
+    1024 ran it 1.36x SLOWER e2e (3.38 vs 2.48 ms — tools/ab_int8_variants.py)
+    despite a 1.26x CPU win; XLA's layout/fusion choices for the two separate
+    convs beat the hand-merged double-width conv. Kept as a tested,
+    bit-identical option.
+    act_impl selects the act-site CDF evaluation ('erf' reference-exact,
+    'poly' TPU fast grid — see _erfq_codes; pair with the same cdf_impl in
+    QAT).
 
     The residual stream is carried as INT32 CODES in act_scale units (every
     inter-site value is an exact multiple of act_scale by construction), so
@@ -259,7 +315,7 @@ def resnet20_int8_forward(
     ms = residual_multipliers(["skip" in blk for blk in qparams["layers"]])
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
+    out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
 
     for blk, m in zip(qparams["layers"], ms):
         stride = 2 if "skip" in blk else 1
@@ -270,17 +326,20 @@ def resnet20_int8_forward(
             # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
             if use_pallas_1x1:
                 sc_h = _int8_conv_1x1_pallas(x8, blk["skip"], stride)
+                h0 = _int8_conv(x8, blk["conv0"], stride, 1)
+            elif fuse_skip:
+                h0, sc_h = _int8_conv_merged_skip(x8, blk["conv0"], blk["skip"], stride)
             else:
                 sc_h = _int8_conv(x8, blk["skip"], stride, 0)
-            sc_c = _erfq_codes(sc_h, act_bits).astype(jnp.int16)
+                h0 = _int8_conv(x8, blk["conv0"], stride, 1)
+            sc_c = _erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16)
         else:
             sc_c = out_c
-
-        h0 = _int8_conv(x8, blk["conv0"], stride, 1)
-        a0 = _erfq_codes(h0, act_bits)  # act_q0
+            h0 = _int8_conv(x8, blk["conv0"], stride, 1)
+        a0 = _erfq_codes(h0, act_bits, act_impl)  # act_q0
         r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
-        a1_c = _erfq_codes(h1, act_bits).astype(jnp.int16)  # act_q1
+        a1_c = _erfq_codes(h1, act_bits, act_impl).astype(jnp.int16)  # act_q1
         out_c = jnp.maximum(a1_c + sc_c, 0)  # residual add + relu, in codes
 
     # mean over 64 spatial positions is exact in f32 (int sum < 2^24, /64 is

@@ -258,6 +258,10 @@ class QuantAct(nn.Module):
     # short-circuit. No corr loss at 32-bit in either stage (the reference's
     # `method=='ours' and a_bit<32` guard).
     stage: str = "quant"
+    # 'erf' (reference-exact) or 'poly' (ERF_SQRT2_POLY grid, quant/cdf.py —
+    # the TPU fast path; pair with the same impl at deployment:
+    # resnet20_int8_forward(act_impl='poly'))
+    cdf_impl: str = "erf"
     # std epsilon in the corr standardization. The r20 reference divides by
     # a raw std (quantization.py:135 — 1/0 for any feature constant across
     # the batch); the office twin guards with +1e-5 (dann_office
@@ -272,23 +276,31 @@ class QuantAct(nn.Module):
             if self.stage == "align" and self.method == "ours":
                 # FP32 alignment-only ablation: the CDF transform without
                 # rounding (quantization.py:96-102 returns activation_cdf)
-                return act_cdf(x, act_range=self.act_range, variant=self.variant)
+                return act_cdf(
+                    x, act_range=self.act_range, variant=self.variant,
+                    impl=self.cdf_impl,
+                )
             return x
         if self.method == "ours":
             if self.admm and compute_corr and self.a_bit < 32:
                 b = x.shape[0]
                 x_feat = x.reshape(b, -1)
-                c = act_cdf(x, act_range=self.act_range, variant=self.variant)
+                c = act_cdf(
+                    x, act_range=self.act_range, variant=self.variant,
+                    impl=self.cdf_impl,
+                )
                 d = corr_discrepancy(x_feat, c.reshape(b, -1), eps=self.corr_eps)
                 self.sow("admm_d", "d", d)
             if self.a_bit == 32:
                 # admm+compute_corr fall-through at 32-bit (no corr at 32)
                 return (
-                    act_cdf(x, act_range=self.act_range, variant=self.variant)
+                    act_cdf(x, act_range=self.act_range, variant=self.variant,
+                            impl=self.cdf_impl)
                     if self.stage == "align" else x
                 )
             return quantize_act(
-                x, self.a_bit, act_range=self.act_range, variant=self.variant
+                x, self.a_bit, act_range=self.act_range, variant=self.variant,
+                impl=self.cdf_impl,
             )
         if self.method in ("uniform", "dorefa"):
             return baselines.uniform_act(x, self.a_bit)

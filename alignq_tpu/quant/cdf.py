@@ -26,10 +26,59 @@ _SQRT2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
-def gaussian_cdf(x: jax.Array, mean, std) -> jax.Array:
-    """Phi_{mean,std}(x) via erf (reference: torch.distributions.Normal.cdf)."""
-    z = (x - mean) / (std * _SQRT2)
-    return 0.5 * (1.0 + jax.lax.erf(z))
+# Degree-15 odd minimax-fit polynomial for erf(z/sqrt2) on the clamped
+# domain |z| <= 3 (Horner in z^2; fitted with endpoint-weighted lstsq).
+# Accuracy: |err| <= 1.9e-6 in f32 == 2.4e-4 A8 code-units -> codes agree
+# with the erf formulation for all but ~0.005% of N(0,1) inputs (values
+# that close to a rounding boundary; measured in test_quant_core).
+# p(3.0) = 0.99730 > 126.5/127, so the A8 clip saturates identically.
+# Why it exists: the act-quant epilogue is the INT8 graph's largest cost
+# (erf ablation: 2.83 -> 1.74 ms e2e at batch 1024, tools/int8_breakdown.py)
+# and XLA's f32 erf spends ~25-30 VPU ops/element; the poly is ~11. Used
+# identically in QAT and the INT graphs (cdf_impl='poly') so train==deploy
+# stays bit-exact — it is a self-consistent alternative quantizer grid, NOT
+# an approximation stacked on the erf grid.
+ERF_SQRT2_POLY = (
+    0.7978767035812473,
+    -0.132937421134101,
+    0.01987666573612765,
+    -0.00232242597697477,
+    2.0980537887739438e-4,
+    -1.3852070586107547e-5,
+    5.848221808977707e-7,
+    -1.157208553963603e-8,
+)
+
+
+def erf_sqrt2(z: jax.Array, impl: str = "erf") -> jax.Array:
+    """erf(z/sqrt2) == 2*Phi_{0,1}(z) - 1, the act-site CDF alignment map.
+
+    impl='erf':  exact jax.lax.erf (reference semantics).
+    impl='poly': the ERF_SQRT2_POLY grid (TPU fast path, ~2.5x fewer VPU ops).
+    """
+    if impl == "erf":
+        return jax.lax.erf(z / _SQRT2)
+    if impl == "poly":
+        zc = jnp.clip(z, -3.0, 3.0)
+        u = zc * zc
+        acc = jnp.asarray(ERF_SQRT2_POLY[-1], z.dtype)
+        for c in ERF_SQRT2_POLY[-2::-1]:
+            acc = acc * u + c
+        return zc * acc
+    raise ValueError(f"unknown cdf impl {impl!r}")
+
+
+def gaussian_cdf(x: jax.Array, mean, std, impl: str = "erf") -> jax.Array:
+    """Phi_{mean,std}(x) via erf (reference: torch.distributions.Normal.cdf).
+
+    The impl='erf' branch keeps the original fp association
+    (z = (x-mean)/(std*sqrt2), then erf) — bit-parity tests and the
+    deploy-exact QAT contract depend on reproducing those exact floats.
+    """
+    if impl == "erf":
+        z = (x - mean) / (std * _SQRT2)
+        return 0.5 * (1.0 + jax.lax.erf(z))
+    return 0.5 * (1.0 + erf_sqrt2((x - mean) / std, impl))
 
 
 def gaussian_pdf2(x: jax.Array, mean, std) -> jax.Array:
@@ -68,6 +117,7 @@ def cdf_transform(
     *,
     affine: bool,
     act_range: float | None = None,
+    impl: str = "erf",
 ) -> Tuple[jax.Array, jax.Array]:
     """The reference `cdf.forward` for both formulations.
 
@@ -78,7 +128,7 @@ def cdf_transform(
 
     Returns (c, pdf) with pdf = 2*phi(x) in both variants.
     """
-    c = gaussian_cdf(x, mean, std)
+    c = gaussian_cdf(x, mean, std, impl)
     if affine:
         c = c * 2.0 - 1.0
         if act_range is not None:

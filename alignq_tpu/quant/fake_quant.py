@@ -87,6 +87,28 @@ def quantize_weight(
     return WeightQuantResult(wq, c, pdf)
 
 
+def _act_c(a: jax.Array, variant: str, impl: str, act_range: float | None):
+    """The continuous act-site transform c for a given variant/impl.
+
+    The poly impl computes c = erf_sqrt2_poly(a) directly (2*Phi-1 with the
+    N(0,1) prior IS erf(a/sqrt2)) — one fewer affine pair than going through
+    Phi, and the exact expression the INT graphs' poly epilogue evaluates
+    (kernels/infer.py _erfq_codes impl='poly'), keeping train==deploy
+    bit-exact in poly mode."""
+    from alignq_tpu.quant.cdf import erf_sqrt2
+
+    if variant == "a":
+        c, _ = cdf_transform(a, 0.0, 1.0, affine=False, impl=impl)
+        return c
+    c = erf_sqrt2(a, impl) if impl != "erf" else None
+    if c is None:
+        c, _ = cdf_transform(
+            a, 0.0, 1.0, affine=True, act_range=act_range, impl=impl
+        )
+        return c
+    return c * act_range if act_range is not None else c
+
+
 def quantize_act(
     a: jax.Array,
     a_bit: int,
@@ -94,6 +116,7 @@ def quantize_act(
     act_range: float = 2.0,
     variant: str = "b",
     grid_n: int | None = None,
+    impl: str = "erf",
 ) -> jax.Array:
     """CDF-alignment fake-quantize activations against a fixed N(0,1) prior.
 
@@ -101,25 +124,30 @@ def quantize_act(
     quantization.py:97, admm quantization.py:109). Returns the quantized
     activation; the CDF value feeding the ADMM correlation loss is computed
     by the caller (admm/correlation.py) so eval stays loss-free.
+
+    impl='poly' swaps the erf for the ERF_SQRT2_POLY grid (quant/cdf.py) —
+    the TPU fast path; must be paired with the same impl at deployment.
     """
     if a_bit == 32:
         return a
     if variant == "a":
-        c, _ = cdf_transform(a, 0.0, 1.0, affine=False)
+        c = _act_c(a, "a", impl, None)
         return (uniform_quantize(c, a_bit, grid_n) * 2.0 - 1.0) * act_range
     elif variant == "b":
-        c, _ = cdf_transform(a, 0.0, 1.0, affine=True, act_range=act_range)
+        c = _act_c(a, "b", impl, act_range)
         return uniform_quantize(c, a_bit, grid_n)
     elif variant == "int8":
         # act_range scaled OUTSIDE the rounding: value = act_range*code/127
         # with code = round((2*Phi-1) * 127) — the int8 act-site codes of
         # kernels/infer.py exactly
-        c, _ = cdf_transform(a, 0.0, 1.0, affine=True)
+        c = _act_c(a, "int8", impl, None)
         return uniform_quantize(c, a_bit, 2 ** (a_bit - 1) - 1) * act_range
     raise ValueError(f"unknown quantizer variant {variant!r}")
 
 
-def act_cdf(a: jax.Array, *, act_range: float = 2.0, variant: str = "b") -> jax.Array:
+def act_cdf(
+    a: jax.Array, *, act_range: float = 2.0, variant: str = "b", impl: str = "erf"
+) -> jax.Array:
     """The continuous CDF value of an activation tensor (pre-rounding).
 
     Used by the ADMM correlation path (admm quantization.py:109,116): the
@@ -127,7 +155,6 @@ def act_cdf(a: jax.Array, *, act_range: float = 2.0, variant: str = "b") -> jax.
     rounded value.
     """
     if variant == "a":
-        c, _ = cdf_transform(a, 0.0, 1.0, affine=False)
-    else:  # 'b' and 'int8' share the affine-scaled corr input
-        c, _ = cdf_transform(a, 0.0, 1.0, affine=True, act_range=act_range)
-    return c
+        return _act_c(a, "a", impl, None)
+    # 'b' and 'int8' share the affine-scaled corr input
+    return _act_c(a, "b", impl, act_range)

@@ -113,6 +113,15 @@ class TestInt8ResNet:
         assert out.shape == (4, 10)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_merged_skip_bitwise_identical(self):
+        # the fused boundary conv (_int8_conv_merged_skip) must reproduce the
+        # two-conv graph BIT-identically: same int32 accumulators, same
+        # epilogue floats, same codes
+        _, (qp, x) = build_resnet20_int8(8)
+        a = np.asarray(resnet20_int8_forward(qp, x, fuse_skip=False))
+        b = np.asarray(resnet20_int8_forward(qp, x, fuse_skip=True))
+        assert np.array_equal(a, b)
+
 
 class TestInt8MobileNet:
     def test_mobilenet_int8_agrees_with_fake_quant(self):

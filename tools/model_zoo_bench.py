@@ -1,0 +1,143 @@
+"""Honest-timing throughput sweep of every INT8 inference graph family.
+
+Round-1/early-round-2 zoo numbers were block_until_ready dispatch-rate
+artifacts (ARCHITECTURE.md methodology correction); this tool re-measures
+each family's e2e int8 graph with the chained value-fetch protocol
+(tools/honest_timing.py). Also sweeps the ResNet-20 batch size — bigger
+batches amortize fixed per-launch overheads and fill the MXU M dimension.
+
+Prints one JSON line per row:
+  {"name": "resnet20_b1024", "ms": ..., "imgs_per_sec": ...}
+
+    timeout 3000 python tools/model_zoo_bench.py   # ambient env -> real TPU
+    ... --families resnet20,mobilenetv2            # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tools.honest_timing import measure  # noqa: E402
+
+
+SMOKE = False
+
+
+def _measure_forward(name, forward, qparams, x, results, n1=4, n2=16):
+    def step(x):
+        logits = forward(qparams, x)
+        return x + jnp.mean(logits) * 1e-6
+
+    if SMOKE:
+        n1, n2 = 1, 2
+    dt = measure(name, step, x, n1=n1, n2=n2, results=results, quiet=True,
+                 reps=1 if SMOKE else 3)
+    results[-1]["imgs_per_sec"] = round(x.shape[0] / dt, 1)
+    print(json.dumps(results[-1]), flush=True)
+
+
+def bench_resnet20(results, batches=(1024, 2048, 4096)):
+    from alignq_tpu.kernels.infer import build_resnet20_int8, resnet20_int8_forward
+
+    for b in batches:
+        _, (qp, x) = build_resnet20_int8(b)
+        _measure_forward(f"resnet20_b{b}", resnet20_int8_forward, qp, x, results)
+
+
+def bench_resnet56(results, batch=1024):
+    from alignq_tpu.kernels.infer import convert_preact_resnet, resnet20_int8_forward
+    from alignq_tpu.models import resnet56_quant
+
+    model = resnet56_quant(bitW=8, abitW=8, method="ours")
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    qp = convert_preact_resnet(v["params"], v["batch_stats"])
+    _measure_forward(f"resnet56_b{batch}", resnet20_int8_forward, qp, x, results)
+
+
+def bench_densenet40(results, batch=1024):
+    from alignq_tpu.kernels.infer_densenet import (
+        convert_densenet40,
+        densenet40_int8_forward,
+    )
+    from alignq_tpu.models import densenet_40_quant
+
+    model = densenet_40_quant(bitW=8, abitW=8, method="ours")
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    qp = convert_densenet40(v["params"], v["batch_stats"])
+    _measure_forward(f"densenet40_b{batch}", densenet40_int8_forward, qp, x, results)
+
+
+def bench_mobilenetv2(results, batch=1024):
+    from alignq_tpu.kernels.infer_mobilenet import (
+        convert_mobilenetv2,
+        mobilenetv2_int8_forward,
+    )
+    from alignq_tpu.models import mobile_v2
+
+    model = mobile_v2(bitW=8, abitW=8, method="ours")
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    qp = convert_mobilenetv2(v["params"], v["batch_stats"])
+    _measure_forward(f"mobilenetv2_b{batch}", mobilenetv2_int8_forward, qp, x, results)
+
+
+def bench_resnet50(results, batch=128):
+    from alignq_tpu.kernels.infer_resnet_imagenet import (
+        convert_resnet_imagenet,
+        resnet_imagenet_int8_forward,
+    )
+    from alignq_tpu.models import resnet50_quant
+
+    model = resnet50_quant(bitW=8, abitW=8, method="ours")
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    qp = convert_resnet_imagenet(v["params"], v["batch_stats"])
+    _measure_forward(
+        f"resnet50_b{batch}", resnet_imagenet_int8_forward, qp, x, results, n1=3, n2=9
+    )
+
+
+FAMILIES = {
+    "resnet20": bench_resnet20,
+    "resnet56": bench_resnet56,
+    "densenet40": bench_densenet40,
+    "mobilenetv2": bench_mobilenetv2,
+    "resnet50": bench_resnet50,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes (CPU check)")
+    a = ap.parse_args()
+
+    if a.smoke:  # correctness-of-the-tool check only; timings meaningless
+        global SMOKE
+        import functools
+
+        SMOKE = True
+        FAMILIES["resnet20"] = functools.partial(bench_resnet20, batches=(8,))
+        for fn in (bench_resnet56, bench_densenet40, bench_mobilenetv2, bench_resnet50):
+            FAMILIES[fn.__name__.replace("bench_", "")] = functools.partial(
+                fn, batch=8 if fn is not bench_resnet50 else 2
+            )
+
+    results = []
+    for fam in a.families.split(","):
+        FAMILIES[fam.strip()](results)
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
