@@ -41,6 +41,7 @@ class DANN(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     stage: str = "quant"  # 'align' = FP32 CDF-only ablation (options_office.py:26)
+    cdf_impl: str = "erf"
 
     def setup(self):
         builder = {
@@ -51,7 +52,7 @@ class DANN(nn.Module):
         self.feature = builder(
             bitW=self.w_bit, abitW=self.a_bit, method=self.method,
             admm=self.admm, variant=self.variant, act_range=self.act_range,
-            stage=self.stage,
+            stage=self.stage, cdf_impl=self.cdf_impl,
         )
         self.class_classifier = QDense(self.num_classes, name="class_classifier")
         self.domain_classifier = QDense(2, name="domain_classifier")
@@ -80,6 +81,7 @@ class DSAN(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     stage: str = "quant"  # reference DSAN default is 'align' (options_office.py:26)
+    cdf_impl: str = "erf"
 
     def setup(self):
         builder = {
@@ -90,7 +92,7 @@ class DSAN(nn.Module):
         self.feature_layers = builder(
             bitW=self.w_bit, abitW=self.a_bit, method=self.method,
             admm=self.admm, variant=self.variant, act_range=self.act_range,
-            stage=self.stage,
+            stage=self.stage, cdf_impl=self.cdf_impl,
         )
         if self.bottle_neck:
             self.bottle = QDense(256, name="bottle")
@@ -137,6 +139,7 @@ class MNISTModelQuant(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    cdf_impl: str = "erf"
 
     @nn.compact
     def __call__(self, x, alpha=1.0, train: bool = False, compute_corr: bool = False):
@@ -144,7 +147,8 @@ class MNISTModelQuant(nn.Module):
         kw = dict(use_bias=True, w_bit=self.w_bit, a_bit=self.a_bit,
                   method=self.method, variant=self.variant)
         act_kw = dict(a_bit=self.a_bit, act_range=self.act_range,
-                      method=self.method, variant=self.variant, admm=self.admm)
+                      method=self.method, variant=self.variant, admm=self.admm,
+                      cdf_impl=self.cdf_impl)
         if x.shape[-1] == 1:
             x = jnp.tile(x, (1, 1, 1, 3))  # expand to 3 channels (dann.py:223)
 

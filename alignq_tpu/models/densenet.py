@@ -33,6 +33,7 @@ class DenseBasicBlock(nn.Module):
     act_range: float
     admm: bool
     drop_rate: float = 0.0
+    cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -40,7 +41,8 @@ class DenseBasicBlock(nn.Module):
         out = BatchNorm(not train, name="bn1")(x)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, admm=self.admm, name="act_q0",
+            variant=self.variant, admm=self.admm, cdf_impl=self.cdf_impl,
+            name="act_q0",
         )(out, compute_corr)
         out = jax.nn.relu(out)
         out = QConv(
@@ -62,6 +64,7 @@ class Transition(nn.Module):
     variant: str
     act_range: float
     admm: bool
+    cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -69,7 +72,8 @@ class Transition(nn.Module):
         out = BatchNorm(not train, name="bn1")(x)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, admm=self.admm, name="act_q0",
+            variant=self.variant, admm=self.admm, cdf_impl=self.cdf_impl,
+            name="act_q0",
         )(out, compute_corr)
         out = jax.nn.relu(out)
         out = QConv(
@@ -93,6 +97,7 @@ class DenseNet(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     drop_rate: float = 0.0
+    cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -102,7 +107,7 @@ class DenseNet(nn.Module):
         kw = dict(
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, act_range=self.act_range, admm=self.admm,
-            mxu_dtype=self.mxu_dtype,
+            cdf_impl=self.cdf_impl, mxu_dtype=self.mxu_dtype,
         )
         inplanes = self.growth_rate * 2
         out = QConv(
@@ -125,7 +130,8 @@ class DenseNet(nn.Module):
         out = BatchNorm(not train, name="bn")(out)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, admm=self.admm, name="act_q0",
+            variant=self.variant, admm=self.admm, cdf_impl=self.cdf_impl,
+            name="act_q0",
         )(out, compute_corr)
         out = jax.nn.relu(out)
         out = jnp.mean(out, axis=(1, 2))  # AvgPool2d(8) on 8x8 + flatten

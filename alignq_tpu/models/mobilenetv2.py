@@ -41,12 +41,14 @@ class InvertedResidual(nn.Module):
     variant: str
     act_range: float
     admm: bool
+    cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
 
     def _act(self, name):
         return QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, admm=self.admm, name=name,
+            variant=self.variant, admm=self.admm, cdf_impl=self.cdf_impl,
+            name=name,
         )
 
     @nn.compact
@@ -97,6 +99,7 @@ class MobileNetV2(nn.Module):
     variant: str = "b"
     act_range: float = 2.0
     admm: bool = False
+    cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -105,7 +108,7 @@ class MobileNetV2(nn.Module):
         kw = dict(
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, act_range=self.act_range, admm=self.admm,
-            mxu_dtype=self.mxu_dtype,
+            cdf_impl=self.cdf_impl, mxu_dtype=self.mxu_dtype,
         )
         out = QConv(
             features=32, kernel_size=(3, 3), padding=1, use_bias=False,
@@ -115,7 +118,8 @@ class MobileNetV2(nn.Module):
         out = BatchNorm(ura, name="bn1")(out)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, admm=self.admm, name="act_q1",
+            variant=self.variant, admm=self.admm, cdf_impl=self.cdf_impl,
+            name="act_q1",
         )(out, compute_corr)
         out = jax.nn.relu(out)
 
@@ -136,7 +140,8 @@ class MobileNetV2(nn.Module):
         out = BatchNorm(ura, name="bn2")(out)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, admm=self.admm, name="act_q2",
+            variant=self.variant, admm=self.admm, cdf_impl=self.cdf_impl,
+            name="act_q2",
         )(out, compute_corr)
         out = jax.nn.relu(out)
         out = jnp.mean(out, axis=(1, 2))  # AvgPool2d(4) on 4x4 + flatten

@@ -41,6 +41,7 @@ def build_model(cfg: TrainConfig):
         variant=cfg.variant,
         act_range=cfg.act_range,
         num_classes=cfg.num_classes,
+        cdf_impl=cfg.cdf_impl,
         mxu_dtype=jnp.bfloat16 if cfg.mxu_bf16 else None,
     )
     if cfg.deploy_exact:

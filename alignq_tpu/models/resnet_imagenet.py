@@ -39,6 +39,7 @@ class BasicBlock(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     stage: str = "quant"  # 'align' = FP32 CDF-only ablation (nn/layers.py)
+    cdf_impl: str = "erf"
 
     expansion = 1
 
@@ -49,7 +50,7 @@ class BasicBlock(nn.Module):
                   method=self.method, variant=self.variant)
         act_kw = dict(a_bit=self.a_bit, act_range=self.act_range,
                       method=self.method, variant=self.variant,
-                      stage=self.stage)
+                      stage=self.stage, cdf_impl=self.cdf_impl)
         identity = x
         out = QConv(self.planes, (3, 3), (self.stride, self.stride), 1, name="conv1", **kw)(x)
         out = BatchNorm(ura, name="bn1")(out)
@@ -79,6 +80,7 @@ class Bottleneck(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     stage: str = "quant"
+    cdf_impl: str = "erf"
 
     expansion = 4
 
@@ -89,7 +91,7 @@ class Bottleneck(nn.Module):
                   method=self.method, variant=self.variant)
         act_kw = dict(a_bit=self.a_bit, act_range=self.act_range,
                       method=self.method, variant=self.variant,
-                      stage=self.stage)
+                      stage=self.stage, cdf_impl=self.cdf_impl)
         identity = x
         width = self.planes
         out = QConv(width, (1, 1), (1, 1), 0, name="conv1", **kw)(x)
@@ -126,6 +128,7 @@ class ResNetFeature(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     stage: str = "quant"
+    cdf_impl: str = "erf"
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -138,7 +141,8 @@ class ResNetFeature(nn.Module):
         out = BatchNorm(ura, name="bn1")(out)
         out = QuantAct(
             a_bit=self.a_bit, act_range=self.act_range, method=self.method,
-            variant=self.variant, stage=self.stage, name="act_q0",
+            variant=self.variant, stage=self.stage, cdf_impl=self.cdf_impl,
+            name="act_q0",
         )(out)
         out = jax.nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -146,7 +150,7 @@ class ResNetFeature(nn.Module):
         inplanes = 64
         kw = dict(w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
                   variant=self.variant, act_range=self.act_range,
-                  admm=self.admm, stage=self.stage)
+                  admm=self.admm, stage=self.stage, cdf_impl=self.cdf_impl)
         for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2
             for b in range(blocks):

@@ -59,6 +59,11 @@ def parse_args(argv=None) -> TrainConfig:
     )
     p.add_argument("--mxu_bf16", action="store_true",
                    help="cast conv operands to bf16 for full MXU rate")
+    p.add_argument(
+        "--cdf_impl", choices=("erf", "poly"), default=defaults.cdf_impl,
+        help="act-site CDF: 'erf' reference-exact, 'poly' TPU fast grid "
+             "(quant/cdf.py ERF_SQRT2_POLY; deploy with act_impl='poly')",
+    )
     p.add_argument("--dataset", default=defaults.dataset)
     p.add_argument("--data_dir", default=defaults.data_dir)
     p.add_argument("--job_dir", default=defaults.job_dir)

@@ -45,6 +45,10 @@ class TrainConfig:
     deploy_exact: bool = False
     admm_mu: float = 0.2
     admm_rho: float = 0.3
+    # act-site CDF evaluation: 'erf' (reference-exact) or 'poly' (the
+    # ERF_SQRT2_POLY grid, quant/cdf.py — TPU fast path; deploy with the
+    # matching act_impl='poly' INT graph)
+    cdf_impl: str = "erf"
     # which conv kernels get the PDF-corrected gradient; the stem is excluded
     # for ResNet (main.py:300 idx[1:]) but included for DenseNet/MobileNet
     correction_exclude: Sequence[str] = ("conv0",)
@@ -80,6 +84,7 @@ class TrainConfig:
             a_bit=self.abitW,
             method=self.method,
             variant=self.variant,
+            cdf_impl=self.cdf_impl,
             act_range=self.act_range,
             admm=self.admm,
             num_classes=self.num_classes,

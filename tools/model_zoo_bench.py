@@ -45,11 +45,18 @@ def _measure_forward(name, forward, qparams, x, results, n1=4, n2=16):
 
 
 def bench_resnet20(results, batches=(1024, 2048, 4096)):
+    import functools
+
     from alignq_tpu.kernels.infer import build_resnet20_int8, resnet20_int8_forward
 
     for b in batches:
         _, (qp, x) = build_resnet20_int8(b)
         _measure_forward(f"resnet20_b{b}", resnet20_int8_forward, qp, x, results)
+        _measure_forward(
+            f"resnet20_poly_b{b}",
+            functools.partial(resnet20_int8_forward, act_impl="poly"),
+            qp, x, results,
+        )
 
 
 def bench_resnet56(results, batch=1024):

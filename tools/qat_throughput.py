@@ -23,15 +23,19 @@ def main():
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--admm", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--cdf_impl", choices=("erf", "poly"), default="erf")
     p.add_argument("--iters", type=int, default=20)
     a = p.parse_args()
 
     from alignq_tpu.models import resnet20_quant
     from alignq_tpu.train import TrainConfig, create_train_state, make_train_step
 
-    cfg = TrainConfig(train_batch_size=a.batch, bitW=8, abitW=8, admm=a.admm)
+    cfg = TrainConfig(
+        train_batch_size=a.batch, bitW=8, abitW=8, admm=a.admm,
+        cdf_impl=a.cdf_impl,
+    )
     model = resnet20_quant(
-        bitW=8, abitW=8, method="ours", admm=a.admm,
+        bitW=8, abitW=8, method="ours", admm=a.admm, cdf_impl=a.cdf_impl,
         mxu_dtype=jnp.bfloat16 if a.bf16 else None,
     )
     state = create_train_state(
