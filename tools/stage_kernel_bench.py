@@ -1,0 +1,121 @@
+"""Stage-megakernel vs XLA on hardware: 3 identity blocks of INT8 stage 1.
+
+Compares, at batch 1024 and stage-1 shapes (C=16, 32x32):
+  xla_blocks      the in-graph XLA formulation (poly act grid) of 3
+                  identity blocks on an NHWC int16 code stream
+  pallas_stage    kernels/stage_kernel.py (transposed (C, M) layout,
+                  VMEM-resident stream)
+  pallas+trans    same, plus the NHWC <-> (C, M) transposes the production
+                  graph would need at stage boundaries
+  transpose_rt    the round-trip transpose alone
+
+Bit-equality of xla vs pallas is value-checked first (same poly Horner,
+same integer stream ops -> must match exactly).
+
+    timeout 3000 python tools/stage_kernel_bench.py   # ambient -> real TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tools.honest_timing import measure  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--chunk_imgs", type=int, default=32)
+    a = ap.parse_args()
+    B, C, H, W = a.batch, 16, 32, 32
+
+    from alignq_tpu.kernels.convert import QConvInt8
+    from alignq_tpu.kernels.infer import _erfq_codes, _int8_conv, _requant_codes
+    from alignq_tpu.kernels.stage_kernel import (
+        pack_block_weights,
+        stage_identity_blocks,
+    )
+
+    rng = np.random.RandomState(0)
+    nblk, ms, g = 3, (1, 2, 3), 127
+    blocks = []
+    for _ in range(nblk):
+        blk = {}
+        for name in ("conv0", "conv1"):
+            blk[name] = QConvInt8(
+                jnp.asarray(rng.randint(-20, 20, (3, 3, C, C)), jnp.int8),
+                jnp.asarray(rng.rand(C).astype(np.float32) * 1e-3),
+                jnp.asarray((rng.rand(C).astype(np.float32) - 0.5) * 0.1),
+            )
+        blocks.append(blk)
+    wt, scale, bias = pack_block_weights(blocks)
+
+    def xla_blocks(out_c):  # (B, H, W, C) int16 codes >= 0
+        for blk, m in zip(blocks, ms):
+            x8 = _requant_codes(out_c, m, g)
+            h0 = _int8_conv(x8, blk["conv0"], 1, 1)
+            r0 = jnp.maximum(_erfq_codes(h0, 8, "poly"), 0)
+            h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
+            a1 = _erfq_codes(h1, 8, "poly").astype(jnp.int16)
+            out_c = jnp.maximum(a1 + out_c, 0)
+        return out_c
+
+    def pallas_stage(stream):  # (C, B*H*W) int16
+        return stage_identity_blocks(
+            stream, wt, scale, bias, ms, g=g, w_img=W, h_img=H,
+            chunk_imgs=a.chunk_imgs,
+        )
+
+    def nhwc_to_cm(x):
+        return x.transpose(3, 0, 1, 2).reshape(C, -1)
+
+    def cm_to_nhwc(s):
+        return s.reshape(C, B, H, W).transpose(1, 2, 3, 0)
+
+    # --- bit-equality (value-fetched) ---
+    x0 = jnp.asarray(rng.randint(0, 300, (B, H, W, C)), jnp.int16)
+    want = np.asarray(jax.jit(xla_blocks)(x0))
+    got = np.asarray(cm_to_nhwc(pallas_stage(nhwc_to_cm(x0))))
+    eq = np.array_equal(want, got)
+    print(json.dumps({"bitwise_equal": bool(eq),
+                      "mismatches": int((want != got).sum())}), flush=True)
+    assert eq
+
+    # --- timing (chained; carry stays a valid bounded code stream) ---
+    def xla_step(x):
+        return jnp.clip(xla_blocks(x), 0, 4 * g).astype(jnp.int16)
+
+    def pallas_step(s):
+        return jnp.clip(pallas_stage(s), 0, 4 * g).astype(jnp.int16)
+
+    def pallas_trans_step(x):
+        s = nhwc_to_cm(x)
+        out = pallas_stage(s)
+        return jnp.clip(cm_to_nhwc(out), 0, 4 * g).astype(jnp.int16)
+
+    def transpose_rt_step(x):
+        s = nhwc_to_cm(x)
+        return cm_to_nhwc(s) ^ 1  # xor keeps the chain data-dependent
+
+    flops = 2 * nblk * 2 * 9 * C * C * H * W * B
+    results = []
+    measure("xla_blocks", xla_step, x0, flops=flops, results=results)
+    measure("pallas_stage", pallas_step, nhwc_to_cm(x0), flops=flops, results=results)
+    measure("pallas_plus_transpose", pallas_trans_step, x0, flops=flops, results=results)
+    measure("transpose_roundtrip", transpose_rt_step, x0, results=results)
+    base = results[0]["ms"]
+    for r in results:
+        r["speedup_vs_xla"] = round(base / r["ms"], 3)
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
