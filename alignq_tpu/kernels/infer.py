@@ -276,10 +276,19 @@ def convert_preact_resnet(
     return out
 
 
+def _stage_kernel_chunk_imgs(c: int, h: int, w: int, batch: int) -> int:
+    """Largest image chunk whose (9C, Mc) im2col scratch stays ~4.7 MB
+    (Mc = 2^19 / C), shrunk to a divisor of batch."""
+    chunk = max(1, min(batch, (2 ** 19 // c) // (h * w)))
+    while batch % chunk:
+        chunk -= 1
+    return chunk
+
+
 def resnet20_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
     use_pallas_1x1: bool = False, fuse_skip: bool = False,
-    act_impl: str = "erf",
+    act_impl: str = "erf", use_stage_kernel: bool = False,
 ) -> jax.Array:
     """INT forward shadowing the 'ours' QAT graph value-for-value.
 
@@ -297,6 +306,12 @@ def resnet20_int8_forward(
     act_impl selects the act-site CDF evaluation ('erf' reference-exact,
     'poly' TPU fast grid — see _erfq_codes; pair with the same cdf_impl in
     QAT).
+    use_stage_kernel routes each run of consecutive identity blocks through
+    the VMEM-resident Pallas megakernel (kernels/stage_kernel.py; requires
+    act_impl='poly' — Mosaic has no bit-exact erf). Integer-exact vs the
+    XLA poly formulation; f32-epilogue FMA-contraction differences can flip
+    ~1e-5 of codes at rounding ties (stage_kernel.py docstring).
+    Stage-boundary stride-2 blocks stay XLA.
 
     The residual stream is carried as INT32 CODES in act_scale units (every
     inter-site value is an exact multiple of act_scale by construction), so
@@ -317,7 +332,34 @@ def resnet20_int8_forward(
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
     out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
 
-    for blk, m in zip(qparams["layers"], ms):
+    if use_stage_kernel:
+        assert act_impl == "poly", "stage kernel pairs with the poly act grid"
+        from alignq_tpu.kernels.stage_kernel import (
+            pack_block_weights,
+            stage_identity_blocks,
+        )
+
+    layers = qparams["layers"]
+    i = 0
+    while i < len(layers):
+        blk = layers[i]
+        if use_stage_kernel and "skip" not in blk:
+            # run of consecutive identity blocks -> one VMEM-resident call
+            j = i
+            while j < len(layers) and "skip" not in layers[j]:
+                j += 1
+            bsz, hh, ww, c = out_c.shape
+            wt, scale, bias = pack_block_weights(layers[i:j])
+            stream = out_c.transpose(3, 0, 1, 2).reshape(c, -1)
+            stream = stage_identity_blocks(
+                stream, wt, scale, bias, tuple(ms[i:j]), g=int(g),
+                w_img=ww, h_img=hh,
+                chunk_imgs=_stage_kernel_chunk_imgs(c, hh, ww, bsz),
+            )
+            out_c = stream.reshape(c, bsz, hh, ww).transpose(1, 2, 3, 0)
+            i = j
+            continue
+        m = ms[i]
         stride = 2 if "skip" in blk else 1
         # block 0 (m=1): codes pass through losslessly; later blocks: one
         # exact-bound integer requantization of the residual code sum
@@ -341,6 +383,7 @@ def resnet20_int8_forward(
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
         a1_c = _erfq_codes(h1, act_bits, act_impl).astype(jnp.int16)  # act_q1
         out_c = jnp.maximum(a1_c + sc_c, 0)  # residual add + relu, in codes
+        i += 1
 
     # mean over 64 spatial positions is exact in f32 (int sum < 2^24, /64 is
     # a power of two); one act_scale multiply rescales codes -> values

@@ -82,6 +82,25 @@ class TestStageKernel:
         got_nhwc = np.asarray(got).reshape(c, batch, h, w).transpose(1, 2, 3, 0)
         np.testing.assert_array_equal(np.asarray(out_c), got_nhwc)
 
+    def test_e2e_forward_agreement(self):
+        """Full resnet20 forward, XLA-poly vs megakernel: integer-exact ops
+        with ~1e-5 f32-FMA tie flips per act site (module docstring). On a
+        RANDOM-INIT net those flips cascade through 21 sites into near-tied
+        logits, so this only bounds the logit drift; the production-strength
+        evidence is the trained-model export run (tools/export_int8.py
+        --cdf_impl poly --deploy_exact --stage_kernel: 0.00 pts delta,
+        100.00% prediction agreement) — random-init argmax agreement hides
+        or amplifies what matters (CLAUDE.md invariant)."""
+        from alignq_tpu.kernels.infer import build_resnet20_int8, resnet20_int8_forward
+
+        _, (qp, x) = build_resnet20_int8(8)
+        a = np.asarray(resnet20_int8_forward(qp, x, act_impl="poly"))
+        b = np.asarray(
+            resnet20_int8_forward(qp, x, act_impl="poly", use_stage_kernel=True)
+        )
+        assert np.abs(a - b).max() < 0.5  # few flipped codes x tiny weights
+        assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.75
+
     def test_a4_grid(self):
         rng = np.random.RandomState(2)
         c, h, w, batch, g = 16, 8, 8, 2, 7

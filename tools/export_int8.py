@@ -35,6 +35,16 @@ def main():
              "'b' is the reference grid (255 levels, +1 effective bit)",
     )
     p.add_argument(
+        "--cdf_impl", choices=("erf", "poly"), default="erf",
+        help="act-site CDF in BOTH QAT and the INT graph (poly = TPU fast "
+             "grid; the pairing is what keeps train==deploy exact)",
+    )
+    p.add_argument(
+        "--stage_kernel", action="store_true",
+        help="deploy through the Pallas stage megakernel (resnet20, "
+             "requires --cdf_impl poly)",
+    )
+    p.add_argument(
         "--deploy_exact", action="store_true",
         help="deploy-exact QAT: fake-quantize the stem-input and residual "
              "requant sites during training exactly as the INT graph does "
@@ -68,12 +78,13 @@ def main():
         data_dir=a.data_dir, num_epochs=a.epochs, train_batch_size=a.batch,
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
         correction_exclude=excl, deploy_exact=a.deploy_exact,
+        cdf_impl=a.cdf_impl,
     )
     data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
                     cfg.eval_batch_size, cfg.seed)
     extra = {"deploy_exact": True} if a.deploy_exact else {}
     model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant,
-                  **extra)
+                  cdf_impl=a.cdf_impl, **extra)
     result = fit(cfg, data, model=model)
     state = result["state"]
     print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
@@ -83,7 +94,15 @@ def main():
     )
     import functools
 
-    int8_fwd = jax.jit(functools.partial(int_forward, act_bits=a.bits))
+    int_kw = {"act_bits": a.bits}
+    if a.model == "resnet20":
+        int_kw["act_impl"] = a.cdf_impl
+        if a.stage_kernel:
+            assert a.cdf_impl == "poly", "--stage_kernel requires --cdf_impl poly"
+            int_kw["use_stage_kernel"] = True
+    elif a.cdf_impl != "erf" or a.stage_kernel:
+        p.error("--cdf_impl poly / --stage_kernel deploy is wired for resnet20")
+    int8_fwd = jax.jit(functools.partial(int_forward, **int_kw))
 
     correct = total = 0
     agree = 0
