@@ -101,9 +101,24 @@ def _erfq_codes(h: jax.Array, act_bits: int = 8, impl: str = "erf") -> jax.Array
       with a QAT run using QuantAct(cdf_impl='poly') — the poly is a
       self-consistent alternative quantizer grid, and mixing grids between
       train and deploy flips ~0.005% of codes.
+    impl='bins' (act_bits <= 4 only): codes by direct comparison against
+      the g exact erf-grid boundaries (quant/cdf.py erf_grid_boundaries) —
+      g compare+add pairs, no transcendental. Unlike 'poly' this IS the erf
+      grid (boundaries exact for true erf, f64->f32), so it pairs with a
+      standard erf-grid QAT run — no retraining. Differs from the erf path
+      only for h within ~1 ulp of a boundary (XLA's erf is itself a few-ulp
+      approximation; jnp.round is half-to-even while bins is half-up).
 
     Elementwise — XLA fuses it into the preceding conv's epilogue."""
     g = _act_g(act_bits)
+    if impl == "bins":
+        from alignq_tpu.quant.cdf import erf_grid_boundaries
+
+        assert g <= 15, "bins impl is for the A4/A2 grids (A8 g=127: use poly)"
+        acc = jnp.zeros(h.shape, jnp.int8)
+        for tk in erf_grid_boundaries(int(g)):
+            acc = acc + (h >= tk).astype(jnp.int8) - (h <= -tk).astype(jnp.int8)
+        return acc
     if impl == "erf":
         c = jax.lax.erf(h / _SQRT2)
     else:

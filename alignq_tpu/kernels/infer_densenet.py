@@ -81,10 +81,10 @@ def convert_densenet40(
     return out
 
 
-def _pre_act_conv(x, bn: BNAffine, q: QConvPre, act_bits, padding):
+def _pre_act_conv(x, bn: BNAffine, q: QConvPre, act_bits, padding, act_impl="erf"):
     """bn -> act_q -> relu -> int8 conv (DenseBasicBlock.forward)."""
     h = x * bn.scale + bn.bias
-    codes = jnp.maximum(_erfq_codes(h, act_bits), 0)  # act_q then relu
+    codes = jnp.maximum(_erfq_codes(h, act_bits, act_impl), 0)  # act_q then relu
     acc = jax.lax.conv_general_dilated(
         codes.astype(jnp.int8),
         q.kernel_int8,
@@ -97,7 +97,8 @@ def _pre_act_conv(x, bn: BNAffine, q: QConvPre, act_bits, padding):
 
 
 def densenet40_int8_forward(
-    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
+    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
+    act_impl: str = "erf",
 ) -> jax.Array:
     act_scale = 2.0 / _act_g(act_bits)
     # stem: plain quantized conv on the image (no bn before it)
@@ -111,17 +112,19 @@ def densenet40_int8_forward(
 
     for entry in qparams["stages"]:
         for blk in entry["blocks"]:
-            new = _pre_act_conv(out, blk["bn"], blk["conv"], act_bits, 1)
+            new = _pre_act_conv(out, blk["bn"], blk["conv"], act_bits, 1, act_impl)
             out = jnp.concatenate([out, new], axis=-1)  # densenet.py:39
         if "trans" in entry:
             t = entry["trans"]
-            out = _pre_act_conv(out, t["bn"], t["conv"], act_bits, 0)
+            out = _pre_act_conv(out, t["bn"], t["conv"], act_bits, 0, act_impl)
             out = jax.lax.reduce_window(
                 out, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0  # AvgPool2d(2) (densenet.py:61)
 
     bn = qparams["bn"]
     h = out * bn.scale + bn.bias
-    h = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.float32) * act_scale, 0.0)
+    h = jnp.maximum(
+        _erfq_codes(h, act_bits, act_impl).astype(jnp.float32) * act_scale, 0.0
+    )
     feat = jnp.mean(h, axis=(1, 2))
     return feat @ qparams["fc"]["kernel"] + qparams["fc"]["bias"]

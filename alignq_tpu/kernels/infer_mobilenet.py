@@ -100,7 +100,8 @@ def convert_mobilenetv2(
 
 
 def mobilenetv2_int8_forward(
-    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
+    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
+    act_impl: str = "erf",
 ) -> jax.Array:
     """The inter-block stream is carried as INT16 CODES in act_scale units
     (stride-1 block outputs a3 + relu(sc) are grid-aligned sums, and the
@@ -113,7 +114,7 @@ def mobilenetv2_int8_forward(
 
     # stem: conv1 -> bn1 -> act_q1 -> relu (mobilenetV2.py:115-118)
     h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 1, 1)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
+    out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
     m_in = 1  # stream grid = m_in * act_scale (1 after bare act, 2 after residual)
 
     for blk in qparams["blocks"]:
@@ -122,19 +123,19 @@ def mobilenetv2_int8_forward(
         planes = blk["conv2"].kernel_int8.shape[-1]
 
         h = _conv(x8, blk["conv1"], 1, 0)
-        a = _erfq_codes(h, act_bits)
+        a = _erfq_codes(h, act_bits, act_impl)
         r = jnp.maximum(a, 0)  # relu6 == relu on the bounded act grid
 
         h = _conv(r.astype(jnp.int8), blk["conv2"], s, 1, groups=planes)
-        a = _erfq_codes(h, act_bits)
+        a = _erfq_codes(h, act_bits, act_impl)
         r = jnp.maximum(a, 0)
 
         h = _conv(r.astype(jnp.int8), blk["conv3"], 1, 0)
-        a3_c = _erfq_codes(h, act_bits).astype(jnp.int16)  # act_q3, no relu
+        a3_c = _erfq_codes(h, act_bits, act_impl).astype(jnp.int16)  # act_q3, no relu
 
         if "shortcut" in blk:
             sc_h = _conv(x8, blk["shortcut"], 1, 0)
-            sc_c = jnp.maximum(_erfq_codes(sc_h, act_bits).astype(jnp.int16), 0)
+            sc_c = jnp.maximum(_erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16), 0)
             out_c = a3_c + sc_c  # range [-g, 2g] -> S_RES grid (m=2)
             m_in = 2
         else:
@@ -142,6 +143,6 @@ def mobilenetv2_int8_forward(
             m_in = 1
 
     h = _conv(_requant_codes(out_c, m_in, g, signed=True), qparams["conv2"], 1, 0)
-    out = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
+    out = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
     feat = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) * act_scale
     return feat @ qparams["linear"]["kernel"] + qparams["linear"]["bias"]

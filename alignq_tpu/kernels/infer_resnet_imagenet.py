@@ -121,7 +121,8 @@ def convert_resnet_imagenet(
 
 
 def resnet_imagenet_int8_forward(
-    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8
+    qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
+    act_impl: str = "erf",
 ) -> jax.Array:
     """The residual stream starts as INT16 CODES (act grid) and stays
     integer until the first downsample mixes in a non-act-quantized f32
@@ -135,7 +136,7 @@ def resnet_imagenet_int8_forward(
     # stem: conv1 7x7 s2 -> bn -> act_q0 -> relu -> maxpool (on codes: max
     # of grid values == grid value of max code)
     h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 2, 3)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
+    out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
     out_c = jax.lax.reduce_window(
         out_c, jnp.int16(jnp.iinfo(jnp.int16).min), jax.lax.max,
         (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
@@ -162,17 +163,17 @@ def resnet_imagenet_int8_forward(
             h = _conv(x8, blk["conv1"], 1, 0, s_in)  # 1x1; stride sits on conv2
         else:
             h = _conv(x8, blk["conv1"], stride, 1, s_in)  # BasicBlock 3x3 strided
-        a = _erfq_codes(h, act_bits)
+        a = _erfq_codes(h, act_bits, act_impl)
         r = jnp.maximum(a, 0)
 
         if is_bottleneck:
             h = _conv(r.astype(jnp.int8), blk["conv2"], stride, 1)
-            a = _erfq_codes(h, act_bits)
+            a = _erfq_codes(h, act_bits, act_impl)
             r = jnp.maximum(a, 0)
             h = _conv(r.astype(jnp.int8), blk["conv3"], 1, 0)
         else:
             h = _conv(r.astype(jnp.int8), blk["conv2"], 1, 1)
-        a_last_c = _erfq_codes(h, act_bits).astype(jnp.int16)  # no relu
+        a_last_c = _erfq_codes(h, act_bits, act_impl).astype(jnp.int16)  # no relu
         if identity_c is not None:
             out_c, out_f = jnp.maximum(a_last_c + identity_c, 0), None
         else:
@@ -191,13 +192,14 @@ def dann_int8_forward(
     heads: Dict[str, Any],
     x: jax.Array,
     act_bits: int = 8,
+    act_impl: str = "erf",
 ) -> tuple[jax.Array, jax.Array]:
     """Deploy a trained DANN: INT8 feature trunk + f32 classifier heads.
 
     heads: {'class_classifier': {'kernel','bias'}, 'domain_classifier': ...}
     from the trained DANN params (models/dann.py). The GRL is training-only
     (identity at inference); returns (class_logits, domain_logits)."""
-    feat = resnet_imagenet_int8_forward(qparams, x, act_bits)
+    feat = resnet_imagenet_int8_forward(qparams, x, act_bits, act_impl)
     cls = feat @ heads["class_classifier"]["kernel"] + heads["class_classifier"]["bias"]
     dom = feat @ heads["domain_classifier"]["kernel"] + heads["domain_classifier"]["bias"]
     return cls, dom

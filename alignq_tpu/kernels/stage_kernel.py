@@ -53,23 +53,30 @@ TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
 
 
 def _poly_codes(h: jax.Array, g: float) -> jax.Array:
-    """round(poly_cdf(h) * g) codes, int8 — f32-op-for-op identical to
+    """round(poly_cdf(h) * g) codes — f32-op-for-op identical to
     kernels/infer.py _erfq_codes(impl='poly') (same clamp, same Horner
-    order, same round/clip), so XLA and Pallas produce the same bits."""
+    order, same round/clip), so XLA and Pallas produce the same bits.
+
+    Returned as int32, not int8: Mosaic cannot legalize arithmetic on i8
+    vectors on this backend (arith.maxsi on vector<...xi8> fails to
+    compile), so every in-kernel value stays 32-bit and the only narrow
+    type is the xcol scratch (the i32->i8 pack on store is legal) feeding
+    the int8 MXU dot."""
     zc = jnp.clip(h, -3.0, 3.0)
     u = zc * zc
     acc = jnp.asarray(ERF_SQRT2_POLY[-1], h.dtype)
     for c in ERF_SQRT2_POLY[-2::-1]:
         acc = acc * u + c
     c = zc * acc
-    return jnp.clip(jnp.round(c * g), -g, g).astype(jnp.int8)
+    return jnp.clip(jnp.round(c * g), -g, g).astype(jnp.int32)
 
 
 def _requant(k32: jax.Array, m: int, g: int) -> jax.Array:
-    """kernels/infer.py _requant_codes on an int32 (C, M) block."""
+    """kernels/infer.py _requant_codes on an int32 (C, M) block (i32 out;
+    the i8 pack happens at the xcol store — see _poly_codes note)."""
     if m == 1:
-        return jnp.clip(k32, 0, g).astype(jnp.int8)
-    return jnp.clip((2 * k32 + m) // (2 * m), 0, g).astype(jnp.int8)
+        return jnp.clip(k32, 0, g)
+    return jnp.clip((2 * k32 + m) // (2 * m), 0, g)
 
 
 def _build_xcol(xcol_ref, x8, w_img: int, h_img: int, col_iota):
@@ -84,19 +91,26 @@ def _build_xcol(xcol_ref, x8, w_img: int, h_img: int, col_iota):
     y_idx = (col_iota // w_img) % h_img
     x_idx = col_iota % w_img
     mc = x8.shape[1]
+    # Mosaic's lane rotate is only implemented for 32-bit element types
+    # (tpu.dynamic_rotate on i8 fails to compile on the real chip:
+    # "Rotate with non-32-bit data"); x arrives as int32 codes and is
+    # packed to int8 only on the masked store.
+    x32 = x8
     for t, (dy, dx) in enumerate(TAPS):
         s = (dy - 1) * w_img + (dx - 1)
         # circular roll so column m reads x8[m + s]; pltpu.roll requires a
         # non-negative shift, and (-s) % mc is the same rotation. Wrapped
         # columns are zeroed by the bounds mask below.
-        shifted = pltpu.roll(x8, (-s) % mc, axis=1) if s != 0 else x8
+        shifted = pltpu.roll(x32, (-s) % mc, axis=1) if s != 0 else x32
         valid = (
             (y_idx + (dy - 1) >= 0)
             & (y_idx + (dy - 1) < h_img)
             & (x_idx + (dx - 1) >= 0)
             & (x_idx + (dx - 1) < w_img)
         )
-        xcol_ref[c * t : c * (t + 1), :] = jnp.where(valid, shifted, 0)
+        xcol_ref[c * t : c * (t + 1), :] = jnp.where(valid, shifted, 0).astype(
+            jnp.int8
+        )
 
 
 def _stage_body(
@@ -136,7 +150,7 @@ def _stage_body(
             preferred_element_type=jnp.int32,
         )
         h1 = acc1.astype(jnp.float32) * scale_ref[b, 1] + bias_ref[b, 1]
-        a1 = _poly_codes(h1, float(g)).astype(jnp.int32)
+        a1 = _poly_codes(h1, float(g))
         out_c = jnp.maximum(a1 + out_c, 0)  # residual add + relu, in codes
 
     out_ref[:] = out_c.astype(jnp.int16)

@@ -68,6 +68,36 @@ def erf_sqrt2(z: jax.Array, impl: str = "erf") -> jax.Array:
     raise ValueError(f"unknown cdf impl {impl!r}")
 
 
+def erf_grid_boundaries(g: int):
+    """f32 decision boundaries of the erf act-quant grid.
+
+    codes = round(erf(h/sqrt2) * g) is a monotone staircase, so
+    code(h) >= k  iff  h >= t_k  with  t_k = sqrt2 * erfinv((k - 0.5) / g),
+    k = 1..g (and by odd symmetry code(h) <= -k iff h <= -t_k). Computed
+    host-side in float64 (scipy erfinv, torch fallback) and rounded once to
+    f32 — at deploy time the act site becomes g compare+add pairs instead of
+    an erf evaluation (kernels/infer.py _erfq_codes impl='bins'). Practical
+    for the A4/A2 grids (g = 7 / 1); A8's g=127 stays on erf/poly.
+
+    Exactness: the boundaries are exact for the TRUE erf, while the erf
+    path evaluates XLA's few-ulp f32 erf and jnp.round (half-to-even); the
+    two can disagree only for h within ~1 ulp of a boundary — measure-zero
+    on real data, bounded in tests/test_bins_impl.py.
+    """
+    import numpy as np
+
+    ks = (np.arange(1, g + 1, dtype=np.float64) - 0.5) / g
+    try:
+        from scipy.special import erfinv
+
+        t = np.sqrt(2.0) * erfinv(ks)
+    except Exception:  # pragma: no cover - scipy is present in this image
+        import torch
+
+        t = np.sqrt(2.0) * torch.erfinv(torch.from_numpy(ks)).numpy()
+    return t.astype(np.float32)
+
+
 def gaussian_cdf(x: jax.Array, mean, std, impl: str = "erf") -> jax.Array:
     """Phi_{mean,std}(x) via erf (reference: torch.distributions.Normal.cdf).
 

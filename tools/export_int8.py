@@ -40,6 +40,14 @@ def main():
              "grid; the pairing is what keeps train==deploy exact)",
     )
     p.add_argument(
+        "--deploy_act_impl", choices=("same", "erf", "poly", "bins"),
+        default="same",
+        help="act-site impl in the INT graph only (default: follow "
+             "--cdf_impl). 'bins' (bits<=4) evaluates the exact erf grid by "
+             "boundary comparison — pairs with an erf-grid QAT run, no "
+             "retraining (kernels/infer.py _erfq_codes)",
+    )
+    p.add_argument(
         "--stage_kernel", action="store_true",
         help="deploy through the Pallas stage megakernel (resnet20, "
              "requires --cdf_impl poly)",
@@ -94,14 +102,19 @@ def main():
     )
     import functools
 
-    int_kw = {"act_bits": a.bits}
+    deploy_impl = a.cdf_impl if a.deploy_act_impl == "same" else a.deploy_act_impl
+    if deploy_impl == "bins":
+        if a.cdf_impl != "erf" or a.bits > 4:
+            p.error("--deploy_act_impl bins pairs with --cdf_impl erf, bits<=4")
+    elif deploy_impl != a.cdf_impl:
+        p.error("poly/erf deploy must match the QAT grid (--cdf_impl)")
+    int_kw = {"act_bits": a.bits, "act_impl": deploy_impl}
     if a.model == "resnet20":
-        int_kw["act_impl"] = a.cdf_impl
         if a.stage_kernel:
-            assert a.cdf_impl == "poly", "--stage_kernel requires --cdf_impl poly"
+            assert deploy_impl == "poly", "--stage_kernel requires the poly grid"
             int_kw["use_stage_kernel"] = True
-    elif a.cdf_impl != "erf" or a.stage_kernel:
-        p.error("--cdf_impl poly / --stage_kernel deploy is wired for resnet20")
+    elif a.stage_kernel:
+        p.error("--stage_kernel deploy is wired for resnet20")
     int8_fwd = jax.jit(functools.partial(int_forward, **int_kw))
 
     correct = total = 0
