@@ -22,18 +22,27 @@ Design (TPU-first):
   int32 per conv — the same 2-K-tile MXU work XLA's conv emitter does.
 - The epilogue (dequant scale/bias, act-quant codes, relu, residual add,
   requant) is the exact arithmetic of kernels/infer.py, f32-op-for-op
-  (act_impl='poly' uses the same ERF_SQRT2_POLY Horner). Every integer op
-  (dot accs, requant, residual adds) is bit-exact vs the XLA graph; the f32
-  epilogue can differ by 1 ulp where the two compilers make different FMA
-  contraction choices, which flips a code only for values within that ulp
-  of a rounding boundary — measured ~1e-5 of elements on random data (one
-  flipped code per ~100k activations; prediction-level impact nil, checked
-  on hardware by tools/stage_kernel_bench.py). Within ONE compiled graph
-  the kernel is deterministic across runs like everything else.
+  (act_impl='poly' uses the same ERF_SQRT2_POLY Horner). On the real chip
+  the kernel is BIT-IDENTICAL to the XLA formulation (0/16.7M code
+  mismatches, tools/stage_kernel_bench.py); under CPU interpret mode the
+  f32 epilogue can differ by 1 ulp where the two compilers make different
+  FMA-contraction choices (~1e-5 of elements at rounding ties).
 
 The kernel covers runs of stride-1 (identity) blocks; stage-boundary
 stride-2 blocks stay in XLA (strided taps would need lane gathers). I/O is
 (C, M) — resnet20_int8_forward transposes at stage boundaries.
+
+HARDWARE VERDICT (v5e, batch 1024, stage-1 shapes, value-fetch timing):
+XLA 1.40 ms vs this kernel 2.05 ms (0.68x) — XLA stays the production
+default. The loss is structural on this backend: Mosaic cannot legalize
+i8 lane rotates ("Rotate with non-32-bit data") or i8 vector arithmetic
+(arith.maxsi), so every tap shift runs on int32 — 4x the roll bytes the
+design budgeted — and the 32-bit stack also caps chunk_imgs at 8 (16 MB
+scoped VMEM), an 8x smaller block than planned. The HBM-traffic saving
+the kernel exists for (~1 read + 1 write per stage vs per-op round trips)
+is real but smaller than the forced VPU roll cost at C=16. Kept as a
+bit-exact tested fallback + the e2e A/B stays reproducible
+(use_stage_kernel=True).
 """
 
 from __future__ import annotations
@@ -168,7 +177,8 @@ def stage_identity_blocks(
     g: int = 127,
     w_img: int = 32,
     h_img: int = 32,
-    chunk_imgs: int = 32,
+    chunk_imgs: int = 8,  # 32 exceeds the 16 MB scoped-VMEM limit on v5e
+    # (the 32-bit in-kernel values quadruple the stack: 25 MB at chunk 32)
 ) -> jax.Array:
     """Run n consecutive identity PreAct blocks on the code stream.
 
