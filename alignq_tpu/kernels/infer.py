@@ -304,6 +304,7 @@ def resnet20_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
     use_pallas_1x1: bool = False, fuse_skip: bool = False,
     act_impl: str = "erf", use_stage_kernel: bool = False,
+    stream: str = "int16",
 ) -> jax.Array:
     """INT forward shadowing the 'ours' QAT graph value-for-value.
 
@@ -321,6 +322,15 @@ def resnet20_int8_forward(
     act_impl selects the act-site CDF evaluation ('erf' reference-exact,
     'poly' TPU fast grid — see _erfq_codes; pair with the same cdf_impl in
     QAT).
+    stream='int8' stores the inter-block residual stream as the
+    requantized block-input codes themselves (int8, half the HBM bytes of
+    the exact int16 stream): the requant moves from the next block's input
+    to this block's output and the identity shortcut reads the REQUANTIZED
+    codes instead of the full-resolution sum — each edge loses log2(m) <= 2
+    bits of stream resolution. MUST pair with a QAT run using
+    PreActResNet(deploy_exact=True, stream_int8=True), which trains these
+    exact edge semantics (requant_grid_ste on the full stream). All
+    arithmetic stays exact-integer and bit-deterministic.
     use_stage_kernel routes each run of consecutive identity blocks through
     the VMEM-resident Pallas megakernel (kernels/stage_kernel.py; requires
     act_impl='poly' — Mosaic has no bit-exact erf). Integer-exact vs the
@@ -346,6 +356,13 @@ def resnet20_int8_forward(
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
     h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
     out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
+
+    assert stream in ("int16", "int8"), stream
+    if stream == "int8":
+        assert not use_stage_kernel, "stage kernel carries the int16 stream"
+        # c8: int8 codes on the CURRENT block's m*act_scale grid — the conv
+        # input itself IS the stored stream (stem codes are grid m=1)
+        c8 = out_c.astype(jnp.int8)
 
     if use_stage_kernel:
         assert act_impl == "poly", "stage kernel pairs with the poly act grid"
@@ -376,9 +393,12 @@ def resnet20_int8_forward(
             continue
         m = ms[i]
         stride = 2 if "skip" in blk else 1
-        # block 0 (m=1): codes pass through losslessly; later blocks: one
-        # exact-bound integer requantization of the residual code sum
-        x8 = _requant_codes(out_c, m, g)
+        if stream == "int8":
+            x8 = c8  # already on the m*act_scale grid (stored that way)
+        else:
+            # block 0 (m=1): codes pass through losslessly; later blocks: one
+            # exact-bound integer requantization of the residual code sum
+            x8 = _requant_codes(out_c, m, g)
         if "skip" in blk:
             # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
             if use_pallas_1x1:
@@ -391,13 +411,21 @@ def resnet20_int8_forward(
                 h0 = _int8_conv(x8, blk["conv0"], stride, 1)
             sc_c = _erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16)
         else:
-            sc_c = out_c
+            # int16 stream: full-resolution code sum; int8 stream: the
+            # requantized codes scaled back to grid-1 units (m * c8)
+            sc_c = (
+                m * c8.astype(jnp.int16) if stream == "int8" else out_c
+            )
             h0 = _int8_conv(x8, blk["conv0"], stride, 1)
         a0 = _erfq_codes(h0, act_bits, act_impl)  # act_q0
         r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
         h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
         a1_c = _erfq_codes(h1, act_bits, act_impl).astype(jnp.int16)  # act_q1
         out_c = jnp.maximum(a1_c + sc_c, 0)  # residual add + relu, in codes
+        if stream == "int8" and i + 1 < len(layers):
+            # requant the WHOLE stream (shortcut included) onto the next
+            # block's grid — the stored tensor is int8
+            c8 = _requant_codes(out_c, ms[i + 1], g)
         i += 1
 
     # mean over 64 spatial positions is exact in f32 (int sum < 2^24, /64 is

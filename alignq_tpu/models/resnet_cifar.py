@@ -173,11 +173,25 @@ class PreActResNet(nn.Module):
     # is the symmetric 2^(a_bit-1)-1 deploy grid, not the reference's
     # 2^k - 1 fake-quant grid.
     deploy_exact: bool = False
+    # int8 residual stream (requires deploy_exact): requantize the FULL
+    # inter-block stream — identity shortcut included — at each block edge
+    # onto the next block's m*act_scale grid, instead of carrying the
+    # full-resolution code sum and requantizing only the conv input. This
+    # is the semantics of kernels/infer.py resnet20_int8_forward(
+    # stream='int8'), whose stored stream is int8 codes (half the HBM bytes
+    # of the exact int16 stream). Each block edge loses log2(m) <= 2 bits
+    # of stream resolution; training with it (this flag) is what makes the
+    # deployment exact.
+    stream_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
         ordering = ORDERING[self.method]
         ura = not train
+        assert not (self.stream_int8 and not self.deploy_exact), (
+            "stream_int8 models the INT graph's requantized stream — it "
+            "only makes sense under deploy_exact QAT"
+        )
 
         if self.deploy_exact:
             from alignq_tpu.quant.ste import requant_ste
@@ -259,10 +273,21 @@ class PreActResNet(nn.Module):
                 channelwise=self.channelwise,
                 cdf_impl=self.cdf_impl,
                 mxu_dtype=self.mxu_dtype,
-                requant_m=requant_ms[i],
+                # stream_int8: the edge requant below covers conv input AND
+                # shortcut; the block-internal input requant must be off
+                requant_m=None if self.stream_int8 else requant_ms[i],
                 requant_g=requant_g,
                 name=f"layers_{i}",
             )(out, train, compute_corr)
+            if self.stream_int8 and i + 1 < len(strides):
+                from alignq_tpu.quant.ste import requant_grid_ste
+
+                out = requant_grid_ste(
+                    out,
+                    self.act_range / requant_g,
+                    requant_ms[i + 1],
+                    requant_g,
+                )
 
         out = jnp.mean(out, axis=(1, 2))  # AdaptiveAvgPool2d(1) + flatten
         out = QDense(features=self.num_classes, name="logit")(out)

@@ -43,6 +43,11 @@ def main():
         # per-site code agreement vs erf, lower e2e argmax agreement on
         # random-init nets (code flips compound through 21 sites)
         "poly_act": functools.partial(resnet20_int8_forward, act_impl="poly"),
+        # int8-stored residual stream (shortcut reads requantized codes) —
+        # different (trained) semantics, not bitwise-equal to baseline
+        "poly_stream8": functools.partial(
+            resnet20_int8_forward, act_impl="poly", stream="int8"
+        ),
     }
 
     ref_logits = None

@@ -53,6 +53,15 @@ def main():
              "requires --cdf_impl poly)",
     )
     p.add_argument(
+        "--stream", choices=("int16", "int8"), default="int16",
+        help="residual-stream storage in the INT graph: 'int16' carries the "
+             "exact code sum; 'int8' requantizes the full stream (shortcut "
+             "included) at each block edge — half the stream HBM bytes, "
+             "log2(m)<=2 bits lost per edge, trained via "
+             "PreActResNet(stream_int8=True). Requires --deploy_exact "
+             "(resnet20)",
+    )
+    p.add_argument(
         "--deploy_exact", action="store_true",
         help="deploy-exact QAT: fake-quantize the stem-input and residual "
              "requant sites during training exactly as the INT graph does "
@@ -91,6 +100,10 @@ def main():
     data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
                     cfg.eval_batch_size, cfg.seed)
     extra = {"deploy_exact": True} if a.deploy_exact else {}
+    if a.stream == "int8":
+        if not a.deploy_exact or a.model != "resnet20":
+            p.error("--stream int8 requires --deploy_exact (resnet20)")
+        extra["stream_int8"] = True
     model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant,
                   cdf_impl=a.cdf_impl, **extra)
     result = fit(cfg, data, model=model)
@@ -109,6 +122,8 @@ def main():
     elif deploy_impl != a.cdf_impl:
         p.error("poly/erf deploy must match the QAT grid (--cdf_impl)")
     int_kw = {"act_bits": a.bits, "act_impl": deploy_impl}
+    if a.stream == "int8":
+        int_kw["stream"] = "int8"
     if a.model == "resnet20":
         if a.stage_kernel:
             assert deploy_impl == "poly", "--stage_kernel requires the poly grid"
