@@ -92,7 +92,7 @@ def resnet20_analytic_flops(batch: int) -> float:
     return float(flops * batch)
 
 
-def measure_conv_sol(batch: int, reps: int = 2) -> float:
+def measure_conv_sol(batch: int, reps: int = 2, n1: int = 4, n2: int = 16) -> float:
     """Same-process speed-of-light: sum of isolated bare-int8-conv times
     over the topology (count-weighted). Chained value-fetch per shape."""
     from tools.honest_timing import measure
@@ -115,14 +115,19 @@ def measure_conv_sol(batch: int, reps: int = 2) -> float:
 
         dt = measure(
             f"conv{cin}->{cout}x{hw}k{k}s{s}", step, x0,
-            n1=4, n2=16, reps=reps, quiet=True,
+            n1=n1, n2=n2, reps=reps, quiet=True,
         )
         total += cnt * dt
     return total
 
 
 def main():
-    batch = 1024
+    import os
+
+    # ALIGNQ_BENCH_SMOKE=1: tiny shapes/chains for a CPU correctness pass
+    # (the driver's real run on TPU uses the defaults below)
+    smoke = os.environ.get("ALIGNQ_BENCH_SMOKE") == "1"
+    batch = 64 if smoke else 1024
     from alignq_tpu.kernels import infer as qinfer
 
     _, (qparams, x) = qinfer.build_resnet20_int8(batch)
@@ -154,15 +159,18 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n1, n2 = 8, 40
-    t1 = timed_fetch(make_chain(n1), qparams, x)
-    t2 = timed_fetch(make_chain(n2), qparams, x)
+    n1, n2 = (1, 3) if smoke else (8, 40)
+    t1 = timed_fetch(make_chain(n1), qparams, x, reps=1 if smoke else 3)
+    t2 = timed_fetch(make_chain(n2), qparams, x, reps=1 if smoke else 3)
     dt = (t2 - t1) / (n2 - n1)
     images_per_sec = batch / dt
 
     metric = "resnet20_cifar10_int8_inference_images_per_sec_per_chip"
     try:
-        sol = measure_conv_sol(batch)
+        if smoke:
+            sol = measure_conv_sol(batch, reps=1, n1=1, n2=3)
+        else:
+            sol = measure_conv_sol(batch)
         roofline_fraction = sol / dt
     except Exception:
         # fall back to the nominal-peak analytic roofline (shape-blind)
