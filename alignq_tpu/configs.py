@@ -32,6 +32,22 @@ def resnet20_cifar10_w8a8(**over) -> TrainConfig:
     )
 
 
+def resnet20_cifar10_w8a8_fast_deploy(**over) -> TrainConfig:
+    """Beyond-reference: the flagship config trained for the FASTEST
+    verified TPU deployment path — variant='int8' (deployable grid),
+    deploy_exact (stem/residual requant sites in QAT), cdf_impl='poly'
+    (TPU fast act grid), stream_int8 (int8-stored residual stream). Deploy
+    with resnet20_int8_forward(act_impl='poly', stream='int8'): every
+    option measured at +0.00 pts deployment delta / 100% prediction
+    agreement on trained models (PARITY.md section 5), poly alone is
+    1.16-1.26x e2e on hardware (ARCHITECTURE.md)."""
+    return dataclasses.replace(
+        resnet20_cifar10_w8a8(),
+        variant="int8", deploy_exact=True, stream_int8=True, cdf_impl="poly",
+        **over,
+    )
+
+
 def resnet20_cifar10_w4a4_admm(**over) -> TrainConfig:
     """4-bit + ADMM from the 8-bit pretrain; mu .2 rho .3
     (cdf_alignment_admm/resnet-20-cifar-10/utils/options.py:55-56,
@@ -132,6 +148,7 @@ def dann_digits_mnist2mnistm(**over) -> DAConfig:
 
 ALL = {
     "resnet20_cifar10_w8a8": resnet20_cifar10_w8a8,
+    "resnet20_cifar10_w8a8_fast_deploy": resnet20_cifar10_w8a8_fast_deploy,
     "resnet20_cifar10_w4a4_admm": resnet20_cifar10_w4a4_admm,
     "resnet56_cifar10_w4a4_admm": resnet56_cifar10_w4a4_admm,
     "densenet40_cifar10": densenet40_cifar10,

@@ -51,4 +51,8 @@ def build_model(cfg: TrainConfig):
                 f"not {name!r}"
             )
         kwargs["deploy_exact"] = True
+        if getattr(cfg, "stream_int8", False):
+            kwargs["stream_int8"] = True
+    elif getattr(cfg, "stream_int8", False):
+        raise ValueError("stream_int8 requires deploy_exact")
     return builders[name](**kwargs)

@@ -64,6 +64,21 @@ def parse_args(argv=None) -> TrainConfig:
         help="act-site CDF: 'erf' reference-exact, 'poly' TPU fast grid "
              "(quant/cdf.py ERF_SQRT2_POLY; deploy with act_impl='poly')",
     )
+    p.add_argument(
+        "--variant", default=defaults.variant,
+        help="quantizer grid: 'b' reference, 'a' raw-Phi, 'int8' deploy grid",
+    )
+    p.add_argument(
+        "--deploy_exact", action="store_true",
+        help="model the INT graph's stem/residual requant sites in QAT "
+             "(PreActResNet; pair with --variant int8)",
+    )
+    p.add_argument(
+        "--stream_int8", action="store_true",
+        help="with --deploy_exact: train the int8-stored residual stream "
+             "edge semantics (deploy with stream='int8' — half the stream "
+             "HBM bytes)",
+    )
     p.add_argument("--dataset", default=defaults.dataset)
     p.add_argument("--data_dir", default=defaults.data_dir)
     p.add_argument("--job_dir", default=defaults.job_dir)

@@ -43,6 +43,12 @@ class TrainConfig:
     # training (resnet_cifar.py PreActResNet.deploy_exact); pair with
     # variant='int8'
     deploy_exact: bool = False
+    # int8 residual stream (requires deploy_exact): train the INT graph's
+    # requantized-stream edge semantics so deployment can store the stream
+    # as int8 codes — half the stream HBM bytes
+    # (resnet_cifar.py PreActResNet.stream_int8; deploy with
+    # resnet20_int8_forward(stream='int8'))
+    stream_int8: bool = False
     admm_mu: float = 0.2
     admm_rho: float = 0.3
     # act-site CDF evaluation: 'erf' (reference-exact) or 'poly' (the

@@ -19,7 +19,8 @@ class TestPresets:
     def test_classification_presets_build_models(self):
         for name in ("resnet20_cifar10_w8a8", "resnet20_cifar10_w4a4_admm",
                      "resnet56_cifar10_w4a4_admm", "densenet40_cifar10",
-                     "mobilenetv2_svhn_w8a8"):
+                     "mobilenetv2_svhn_w8a8",
+                     "resnet20_cifar10_w8a8_fast_deploy"):
             model = registry.build_model(configs.ALL[name]())
             assert model is not None, name
 
