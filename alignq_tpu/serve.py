@@ -168,14 +168,21 @@ class Future:
 
 
 def build_int8_resnet20_engine(
-    params: Any, batch_stats: Any, batch_size: int = 256, mesh: Any = None
+    params: Any, batch_stats: Any, batch_size: int = 256, mesh: Any = None,
+    act_impl: str = "erf", stream: str = "int16",
 ) -> BatchedInferenceEngine:
     """Freeze trained params into the INT8 graph and wrap in an engine.
 
-    mesh: optional Mesh with ('data', 'model') axes for DP+TP serving."""
+    mesh: optional Mesh with ('data', 'model') axes for DP+TP serving.
+    act_impl/stream select the deploy-graph fast paths (kernels/infer.py) —
+    pair them with the QAT options that trained the model ('poly' with
+    cdf_impl='poly'; 'int8' with stream_int8=True)."""
+    import functools
+
     from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
 
     qparams = convert_resnet20(params, batch_stats)
-    return BatchedInferenceEngine(
-        resnet20_int8_forward, qparams, batch_size, (32, 32, 3), mesh=mesh
+    fwd = functools.partial(
+        resnet20_int8_forward, act_impl=act_impl, stream=stream
     )
+    return BatchedInferenceEngine(fwd, qparams, batch_size, (32, 32, 3), mesh=mesh)

@@ -33,6 +33,23 @@ class TestServing:
         finally:
             engine.close()
 
+    def test_fast_path_options(self):
+        """act_impl/stream reach the engine's deploy graph."""
+        model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        engine = build_int8_resnet20_engine(
+            variables["params"], variables["batch_stats"], batch_size=4,
+            act_impl="poly", stream="int8",
+        )
+        try:
+            out = engine.submit(
+                np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+            ).result(timeout=120)
+            assert out.shape == (4, 10) and np.isfinite(out).all()
+        finally:
+            engine.close()
+
     def test_mesh_serving_matches_replicated(self):
         """Engine with a (2, 4) data x model mesh (TP weight sharding + DP
         batch sharding) returns the same logits as the single-device engine
