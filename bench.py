@@ -4,11 +4,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
 Benched path: the true-INT8 graph (kernels/infer.py) with the poly act
-grid (act_impl='poly') — the framework's documented fast deployment path.
-It is a self-consistent quantizer grid, not an approximation stacked on
-erf: paired with a QAT run using cdf_impl='poly', train == deploy stays
-exact (tools/export_int8.py measures +0.00 pts delta, 100% prediction
-agreement; PARITY.md section 5).
+grid (act_impl='poly') and the int8 residual stream (stream='int8') —
+the framework's fastest verified deployment stack (the
+resnet20_cifar10_w8a8_fast_deploy preset). Both options are
+self-consistent trained semantics, not approximations stacked on the
+reference grid: paired with the matching QAT options (cdf_impl='poly',
+stream_int8=True), train == deploy stays exact — tools/export_int8.py
+measures +0.00 pts delta with 100% prediction agreement for each
+(PARITY.md section 5). Same-process A/B vs the reference-exact erf/int16
+graph: 1.55x (tools/ab_int8_variants.py; ARCHITECTURE.md).
 
 The reference publishes no throughput numbers (fake-quant only, single
 GPU; BASELINE.md). `vs_baseline` is therefore the fraction of the
@@ -133,7 +137,12 @@ def main():
     _, (qparams, x) = qinfer.build_resnet20_int8(batch)
 
     def fwd(qargs, x):
-        return qinfer.resnet20_int8_forward(qargs, x, act_impl="poly")
+        # the full verified fast stack: poly act grid + int8 residual stream
+        # (each +0.00 pts / 100% agreement when trained with the matching
+        # QAT options — the resnet20_cifar10_w8a8_fast_deploy preset)
+        return qinfer.resnet20_int8_forward(
+            qargs, x, act_impl="poly", stream="int8"
+        )
 
     def make_chain(n: int):
         @jax.jit
