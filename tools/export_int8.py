@@ -28,7 +28,10 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--job_dir", default="/tmp/alignq_export")
     p.add_argument("--bits", type=int, default=8, help="W/A bit width (8 or 4)")
-    p.add_argument("--model", default="resnet20", choices=["resnet20", "mobilenetv2"])
+    p.add_argument(
+        "--model", default="resnet20",
+        choices=["resnet20", "resnet56", "mobilenetv2"],
+    )
     p.add_argument(
         "--variant", default="int8",
         help="quantizer variant: 'int8' trains on the exact deployment grid; "
@@ -75,20 +78,24 @@ def main():
         convert_mobilenetv2,
         mobilenetv2_int8_forward,
     )
-    from alignq_tpu.models import mobile_v2, resnet20_quant
+    from alignq_tpu.models import mobile_v2, resnet20_quant, resnet56_quant
     from alignq_tpu.train import TrainConfig, make_eval_step
     from alignq_tpu.train.loop import fit
 
     builders = {
         "resnet20": (resnet20_quant, convert_resnet20, resnet20_int8_forward,
                      "resnet20_quant", ("conv0",)),
+        # the converter and INT graph walk PreActResNet structurally, so the
+        # 56-layer net reuses them (kernels/infer.py convert_preact_resnet)
+        "resnet56": (resnet56_quant, convert_resnet20, resnet20_int8_forward,
+                     "resnet56_quant", ("conv0",)),
         "mobilenetv2": (mobile_v2, convert_mobilenetv2,
                         mobilenetv2_int8_forward, "mobile_v2", ()),
     }
     build, convert, int_forward, target, excl = builders[a.model]
 
-    if a.deploy_exact and a.model != "resnet20":
-        p.error("--deploy_exact is implemented for --model resnet20")
+    if a.deploy_exact and a.model not in ("resnet20", "resnet56"):
+        p.error("--deploy_exact is implemented for PreActResNet models")
     cfg = TrainConfig(
         target_model=target, method="ours", bitW=a.bits,
         abitW=a.bits, variant=a.variant, dataset=a.dataset,
@@ -101,8 +108,8 @@ def main():
                     cfg.eval_batch_size, cfg.seed)
     extra = {"deploy_exact": True} if a.deploy_exact else {}
     if a.stream == "int8":
-        if not a.deploy_exact or a.model != "resnet20":
-            p.error("--stream int8 requires --deploy_exact (resnet20)")
+        if not a.deploy_exact or a.model not in ("resnet20", "resnet56"):
+            p.error("--stream int8 requires --deploy_exact (PreActResNet)")
         extra["stream_int8"] = True
     model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant,
                   cdf_impl=a.cdf_impl, **extra)
@@ -124,7 +131,7 @@ def main():
     int_kw = {"act_bits": a.bits, "act_impl": deploy_impl}
     if a.stream == "int8":
         int_kw["stream"] = "int8"
-    if a.model == "resnet20":
+    if a.model in ("resnet20", "resnet56"):
         if a.stage_kernel:
             assert deploy_impl == "poly", "--stage_kernel requires the poly grid"
             int_kw["use_stage_kernel"] = True
