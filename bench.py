@@ -16,23 +16,25 @@ graph: 1.55x (tools/ab_int8_variants.py; ARCHITECTURE.md).
 
 The reference publishes no throughput numbers (fake-quant only, single
 GPU; BASELINE.md). `vs_baseline` is therefore the fraction of the
-SPEED-OF-LIGHT achieved, normalized to the BASELINE.json north-star
-target of 90% roofline "on the fused conv kernel" (1.0 == target met):
+nominal-peak ANALYTIC roofline achieved, normalized to the BASELINE.json
+north-star target of 90% (1.0 == target met):
 
-  vs_baseline = (SOL_time / achieved_time) / 0.90
+  vs_baseline = (analytic_conv_flops / dt / 394e12) / 0.90
 
-where SOL_time is measured IN THE SAME PROCESS as the e2e run: every
-distinct conv shape in the topology is timed in isolation (bare int8
-conv, chained value-fetch protocol below) and summed with multiplicity.
-That is the strictest defensible denominator on this hardware — the time
-the network would take if it were ONLY its convolutions, each running at
-the rate XLA actually achieves for that exact shape on this chip. It
-charges us for every non-MXU cycle (act-quant epilogues, residual
-stream) while not crediting the 128-wide MXU for lanes a 16-channel conv
-cannot fill (the naive nominal-peak roofline does, which is why it reads
-7-8% for ANY correct implementation of this model — see ARCHITECTURE.md
-"INT8 e2e cost breakdown"). If the SOL sweep fails, falls back to the
-nominal-peak analytic roofline and says so in the metric name.
+This is the STRICT definition: it charges the 128-wide MXU for lanes the
+model's 16-64-channel convs cannot fill, so even a perfect implementation
+of this topology reads ~10-20% (per-shape ceilings in ARCHITECTURE.md
+"INT8 e2e cost breakdown"; the same protocol measures a 4096^3 matmul at
+~109% of nominal, so the gap is the model's shapes, not the kernels).
+
+A measured same-process speed-of-light denominator (each conv shape timed
+in isolation, summed with multiplicity — measure_conv_sol below, kept as
+a diagnostic) was tried and found NON-PHYSICAL on this backend in both
+directions: short chains difference into RPC jitter (negative dt), and
+long fori_loop chains serialize conv-after-conv so hard that the summed
+"isolated" times exceed the full e2e graph (1.9x), because in-graph convs
+overlap DMA/epilogues that a data-dependent serial chain cannot. The
+nominal-peak number is pessimistic but stable and honest.
 
 MEASUREMENT METHODOLOGY (round-2 correction — this invalidated every
 earlier headline number):
@@ -96,10 +98,16 @@ def resnet20_analytic_flops(batch: int) -> float:
     return float(flops * batch)
 
 
-def measure_conv_sol(batch: int, reps: int = 2, n1: int = 4, n2: int = 16) -> float:
+def measure_conv_sol(batch: int, reps: int = 3, n1: int = 64, n2: int = 320) -> float:
     """Same-process speed-of-light: sum of isolated bare-int8-conv times
-    over the topology (count-weighted). Chained value-fetch per shape."""
-    from tools.honest_timing import measure
+    over the topology (count-weighted).
+
+    Each shape's chain is a lax.fori_loop of data-dependent convs (cheap
+    to compile at any length), so n2-n1 can be large enough — 256
+    iterations, tens of ms of signal — that the differenced time stands
+    well above this backend's RPC jitter (an early unrolled 12-iteration
+    version differenced NEGATIVE for the ~40 us conv shapes)."""
+    import time
 
     rng = np.random.RandomState(0)
     total = 0.0
@@ -108,7 +116,7 @@ def measure_conv_sol(batch: int, reps: int = 2, n1: int = 4, n2: int = 16) -> fl
         x0 = jnp.asarray(rng.randint(-127, 128, (batch, hw, hw, cin)), jnp.int8)
         pad = (k - 1) // 2
 
-        def step(x, w=w, s=s, pad=pad):
+        def body(_, x, w=w, s=s, pad=pad):
             acc = jax.lax.conv_general_dilated(
                 x, w, (s, s), [(pad, pad)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -117,11 +125,20 @@ def measure_conv_sol(batch: int, reps: int = 2, n1: int = 4, n2: int = 16) -> fl
             # data-dependent feedback (int8 add wraps; content irrelevant)
             return x + (acc[0, 0, 0, 0] & 1).astype(jnp.int8)
 
-        dt = measure(
-            f"conv{cin}->{cout}x{hw}k{k}s{s}", step, x0,
-            n1=n1, n2=n2, reps=reps, quiet=True,
-        )
-        total += cnt * dt
+        def timed(n):
+            prog = jax.jit(
+                lambda x: jax.lax.fori_loop(0, n, body, x)[0, 0, 0, 0]
+            )
+            _ = np.asarray(prog(x0))  # compile + settle
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = np.asarray(prog(x0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = (timed(n2) - timed(n1)) / (n2 - n1)
+        total += cnt * max(dt, 0.0)
     return total
 
 
@@ -175,16 +192,7 @@ def main():
     images_per_sec = batch / dt
 
     metric = "resnet20_cifar10_int8_inference_images_per_sec_per_chip"
-    try:
-        if smoke:
-            sol = measure_conv_sol(batch, reps=1, n1=1, n2=3)
-        else:
-            sol = measure_conv_sol(batch)
-        roofline_fraction = sol / dt
-    except Exception:
-        # fall back to the nominal-peak analytic roofline (shape-blind)
-        metric += "_nominal_roofline"
-        roofline_fraction = resnet20_analytic_flops(batch) / dt / PEAKS["int8"]
+    roofline_fraction = resnet20_analytic_flops(batch) / dt / PEAKS["int8"]
 
     print(
         json.dumps(
