@@ -30,6 +30,28 @@ def save_int8_artifact(path: str, qparams: Any, meta: Dict[str, Any] | None = No
     np.savez_compressed(path, **flat)
 
 
+def forward_kwargs_from_meta(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Deploy-graph kwargs recorded at export time.
+
+    The fast-path options are TRAINED semantics (poly grid pairs with
+    cdf_impl='poly' QAT, int8 stream with stream_int8=True QAT) — deploying
+    a model with the wrong graph silently costs accuracy, so the artifact
+    records which graph its weights were trained for and this helper turns
+    the record back into resnet20_int8_forward/... kwargs."""
+    out: Dict[str, Any] = {}
+    if "act_bits" in meta:
+        out["act_bits"] = int(meta["act_bits"])
+    if "act_impl" in meta:
+        impl = str(np.asarray(meta["act_impl"]))
+        assert impl in ("erf", "poly", "bins"), impl
+        out["act_impl"] = impl
+    if "stream" in meta:
+        s = str(np.asarray(meta["stream"]))
+        assert s in ("int16", "int8"), s
+        out["stream"] = s
+    return out
+
+
 def load_int8_artifact(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
     """Restore into the structure of `template` (a qparams pytree of the
     same model — e.g. from convert_* on fresh params). Returns

@@ -240,3 +240,34 @@ class TestDANNDeploy:
         assert cls_i8.shape == (2, 5) and dom_i8.shape == (2, 2)
         c = np.corrcoef(np.asarray(cls_fq).ravel(), np.asarray(cls_i8).ravel())[0, 1]
         assert c > 0.9
+
+
+class TestArtifactMeta:
+    def test_forward_kwargs_from_meta_roundtrip(self, tmp_path):
+        """Export-time deploy options survive the artifact and map back to
+        forward kwargs (the wrong-graph-silent-accuracy-loss guard)."""
+        import numpy as np
+
+        from alignq_tpu.kernels.artifact import (
+            forward_kwargs_from_meta,
+            load_int8_artifact,
+            save_int8_artifact,
+        )
+
+        qp = {"w": np.arange(4, dtype=np.int8)}
+        path = str(tmp_path / "art.npz")
+        save_int8_artifact(path, qp, meta={
+            "model": "resnet20", "act_bits": 8, "act_impl": "poly",
+            "stream": "int8", "deploy_exact": 1,
+        })
+        _, meta = load_int8_artifact(path, qp)
+        kw = forward_kwargs_from_meta(meta)
+        assert kw == {"act_bits": 8, "act_impl": "poly", "stream": "int8"}
+
+    def test_forward_kwargs_rejects_garbage(self):
+        import pytest
+
+        from alignq_tpu.kernels.artifact import forward_kwargs_from_meta
+
+        with pytest.raises(AssertionError):
+            forward_kwargs_from_meta({"act_impl": "fast"})

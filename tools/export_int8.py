@@ -65,6 +65,12 @@ def main():
              "(resnet20)",
     )
     p.add_argument(
+        "--save", default=None, metavar="PATH.npz",
+        help="save the frozen INT artifact (kernels/artifact.py) with meta "
+             "recording the trained deploy options (act_impl/stream/bits) "
+             "so serving picks the matching graph",
+    )
+    p.add_argument(
         "--deploy_exact", action="store_true",
         help="deploy-exact QAT: fake-quantize the stem-input and residual "
              "requant sites during training exactly as the INT graph does "
@@ -162,6 +168,16 @@ def main():
           f"{100*agree/total:.2f}%")
     delta = 100 * (fq_correct - correct) / total
     print(f"deployment accuracy delta (fake-quant - int8): {delta:+.2f} pts")
+
+    if a.save:
+        from alignq_tpu.kernels.artifact import save_int8_artifact
+
+        save_int8_artifact(a.save, qparams, meta={
+            "model": a.model, "act_bits": a.bits, "act_impl": deploy_impl,
+            "stream": a.stream, "variant": a.variant,
+            "deploy_exact": int(a.deploy_exact),
+        })
+        print(f"saved INT artifact -> {a.save}")
 
 
 if __name__ == "__main__":
