@@ -178,6 +178,26 @@ class TestInt8DenseNet:
         # only the stem image quantization separates the two graphs
         np.testing.assert_allclose(i8, fq, atol=0.2)
 
+    def test_prealloc_stage_matches_concat(self):
+        """The preallocated-buffer stage (zero-padded BN/kernel over
+        unwritten channels) is integer-exact vs the concat formulation;
+        f32 epilogues may differ by 1 ulp (FMA contraction in a different
+        fusion context)."""
+        from alignq_tpu.kernels.infer_densenet import (
+            convert_densenet40,
+            densenet40_int8_forward,
+        )
+        from alignq_tpu.models import densenet_40_quant
+
+        model = densenet_40_quant(8, 8, "ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(3), x, train=False)
+        qp = convert_densenet40(variables["params"], variables["batch_stats"])
+        l0 = np.asarray(densenet40_int8_forward(qp, x))
+        l1 = np.asarray(densenet40_int8_forward(qp, x, prealloc=True))
+        assert (l0.argmax(-1) == l1.argmax(-1)).all()
+        np.testing.assert_allclose(l0, l1, atol=1e-5)
+
 
 class TestInt8ResNetImageNet:
     def test_resnet18_feature_graph(self):
