@@ -186,3 +186,42 @@ def build_int8_resnet20_engine(
         resnet20_int8_forward, act_impl=act_impl, stream=stream
     )
     return BatchedInferenceEngine(fwd, qparams, batch_size, (32, 32, 3), mesh=mesh)
+
+
+def engine_from_artifact(
+    path: str, batch_size: int = 256, mesh: Any = None
+) -> BatchedInferenceEngine:
+    """Serve a frozen INT artifact (tools/export_int8.py --save).
+
+    The artifact's meta records which deploy graph its weights were
+    trained for (act_impl / stream / bits — kernels/artifact.py
+    forward_kwargs_from_meta), so the engine always runs the matching
+    graph. Template qparams come from converting a fresh init of the
+    recorded model."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alignq_tpu.kernels.artifact import (
+        forward_kwargs_from_meta,
+        load_int8_artifact,
+    )
+    from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+
+    # peek meta for the model name
+    raw = np.load(path)
+    model_name = str(raw["__meta__/model"]) if "__meta__/model" in raw.files else "resnet20"
+    from alignq_tpu.models import resnet20_quant, resnet56_quant
+
+    builders = {"resnet20": resnet20_quant, "resnet56": resnet56_quant}
+    assert model_name in builders, f"artifact model {model_name!r} not servable here"
+    model = builders[model_name](bitW=8, abitW=8, method="ours")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    template = convert_resnet20(variables["params"], variables["batch_stats"])
+    qparams, meta = load_int8_artifact(path, template)
+    kw = forward_kwargs_from_meta(meta)
+    fwd = functools.partial(resnet20_int8_forward, **kw)
+    return BatchedInferenceEngine(fwd, qparams, batch_size, (32, 32, 3), mesh=mesh)

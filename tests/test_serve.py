@@ -33,6 +33,30 @@ class TestServing:
         finally:
             engine.close()
 
+    def test_engine_from_artifact(self, tmp_path):
+        """Artifact meta drives the engine's deploy-graph choice."""
+        from alignq_tpu.kernels.artifact import save_int8_artifact
+        from alignq_tpu.kernels.infer import convert_resnet20
+        from alignq_tpu.serve import engine_from_artifact
+
+        model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(2), x, train=False)
+        qp = convert_resnet20(variables["params"], variables["batch_stats"])
+        path = str(tmp_path / "model.npz")
+        save_int8_artifact(path, qp, meta={
+            "model": "resnet20", "act_bits": 8, "act_impl": "poly",
+            "stream": "int8",
+        })
+        engine = engine_from_artifact(path, batch_size=4)
+        try:
+            out = engine.submit(
+                np.random.RandomState(1).randn(4, 32, 32, 3).astype(np.float32)
+            ).result(timeout=120)
+            assert out.shape == (4, 10) and np.isfinite(out).all()
+        finally:
+            engine.close()
+
     def test_fast_path_options(self):
         """act_impl/stream reach the engine's deploy graph."""
         model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")
