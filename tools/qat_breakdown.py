@@ -82,7 +82,11 @@ def main():
 
     def grad_step(x):
         l, g = vg(state.params, x)
-        return x + (l + jax.tree_util.tree_leaves(g)[0].mean()) * 1e-6
+        # consume EVERY grad leaf: reading just one would let XLA prune the
+        # other layers' weight-gradient contractions (~half the backward
+        # FLOPs) out of the program
+        gsum = sum(leaf.mean() for leaf in jax.tree_util.tree_leaves(g))
+        return x + (l + gsum) * 1e-6
 
     measure("grad", grad_step, x0, n1=4, n2=16, results=results)
 
