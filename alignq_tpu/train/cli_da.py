@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=224, help="office image size")
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--admm", action="store_true")
+    p.add_argument(
+        "--cdf_impl", choices=("erf", "poly"), default=d.cdf_impl,
+        help="act-site CDF grid (poly = TPU fast path; pair at deployment)",
+    )
     p.add_argument("--stage", default=d.stage, choices=["quant", "align"],
                    help="'align' = FP32 CDF-only ablation (reference DSAN "
                         "default STAGE, options_office.py:26)")
@@ -71,7 +75,8 @@ def main(argv=None):
             )
         }
         model = mnist_model_quant(
-            bitW=a.bitW, abitW=a.abitW, method=a.method, admm=a.admm
+            bitW=a.bitW, abitW=a.abitW, method=a.method, admm=a.admm,
+            cdf_impl=a.cdf_impl,
         )
         # digit driver uses plain SGD (dann_digit/main.py:108)
         cfg = dataclasses.replace(cfg, use_correction=False)
@@ -89,6 +94,7 @@ def main(argv=None):
             model = DANN(
                 arch=a.arch, num_classes=num_classes, w_bit=a.bitW,
                 a_bit=a.abitW, method=a.method, admm=a.admm, stage=a.stage,
+                cdf_impl=a.cdf_impl,
             )
             result = fit_dann(cfg, loaders, model, max_steps=a.max_steps)
         else:
@@ -97,7 +103,7 @@ def main(argv=None):
             model = DSAN(
                 arch=a.arch, num_classes=num_classes, bottle_neck=a.bottle_neck,
                 w_bit=a.bitW, a_bit=a.abitW, method=a.method, admm=a.admm,
-                stage=a.stage,
+                stage=a.stage, cdf_impl=a.cdf_impl,
             )
             result = fit_dsan(cfg, loaders, model, max_steps=a.max_steps)
 

@@ -85,6 +85,8 @@ def bench_densenet40(results, batch=1024):
 
 
 def bench_mobilenetv2(results, batch=1024):
+    import functools
+
     from alignq_tpu.kernels.infer_mobilenet import (
         convert_mobilenetv2,
         mobilenetv2_int8_forward,
@@ -96,9 +98,16 @@ def bench_mobilenetv2(results, batch=1024):
     v = model.init(jax.random.PRNGKey(1), x, train=False)
     qp = convert_mobilenetv2(v["params"], v["batch_stats"])
     _measure_forward(f"mobilenetv2_b{batch}", mobilenetv2_int8_forward, qp, x, results)
+    _measure_forward(
+        f"mobilenetv2_poly_b{batch}",
+        functools.partial(mobilenetv2_int8_forward, act_impl="poly"),
+        qp, x, results,
+    )
 
 
 def bench_resnet50(results, batch=128):
+    import functools
+
     from alignq_tpu.kernels.infer_resnet_imagenet import (
         convert_resnet_imagenet,
         resnet_imagenet_int8_forward,
@@ -111,6 +120,11 @@ def bench_resnet50(results, batch=128):
     qp = convert_resnet_imagenet(v["params"], v["batch_stats"])
     _measure_forward(
         f"resnet50_b{batch}", resnet_imagenet_int8_forward, qp, x, results, n1=3, n2=9
+    )
+    _measure_forward(
+        f"resnet50_poly_b{batch}",
+        functools.partial(resnet_imagenet_int8_forward, act_impl="poly"),
+        qp, x, results, n1=3, n2=9,
     )
 
 
