@@ -221,3 +221,37 @@ def convert_dann(
         "domain_classifier": dict(params["domain_classifier"]),
     }
     return qparams, heads
+
+
+def dsan_int8_forward(
+    qparams: Dict[str, Any],
+    heads: Dict[str, Any],
+    x: jax.Array,
+    act_bits: int = 8,
+    act_impl: str = "erf",
+) -> jax.Array:
+    """Deploy a trained DSAN (dsan_office/model/resnet.py:333-361): INT8
+    feature trunk + f32 bottleneck (if trained with one) + cls head. The
+    LMMD machinery is training-only; inference is just source-path
+    classification. Returns class logits."""
+    feat = resnet_imagenet_int8_forward(qparams, x, act_bits, act_impl)
+    if "bottle" in heads:
+        feat = feat @ heads["bottle"]["kernel"] + heads["bottle"]["bias"]
+    return feat @ heads["cls_fc"]["kernel"] + heads["cls_fc"]["bias"]
+
+
+def convert_dsan(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    weight_bits: int = 8,
+    act_bits: int = 8,
+) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split a trained DSAN into (int8 feature qparams, f32 heads)."""
+    qparams = convert_resnet_imagenet(
+        params["feature_layers"], batch_stats.get("feature_layers", {}),
+        weight_bits=weight_bits, act_bits=act_bits,
+    )
+    heads = {"cls_fc": dict(params["cls_fc"])}
+    if "bottle" in params:
+        heads["bottle"] = dict(params["bottle"])
+    return qparams, heads

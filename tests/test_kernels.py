@@ -261,6 +261,25 @@ class TestDANNDeploy:
         c = np.corrcoef(np.asarray(cls_fq).ravel(), np.asarray(cls_i8).ravel())[0, 1]
         assert c > 0.9
 
+    def test_dsan_int8_tracks_fake_quant(self):
+        from alignq_tpu.kernels.infer_resnet_imagenet import (
+            convert_dsan,
+            dsan_int8_forward,
+        )
+        from alignq_tpu.models import DSAN
+
+        model = DSAN(arch="resnet18", num_classes=5, w_bit=8, a_bit=8,
+                     method="ours", variant="int8", bottle_neck=True)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(3), x, train=False)
+        pred_fq = model.apply(variables, x, train=False)  # target=None -> s_pred
+        qp, heads = convert_dsan(variables["params"], variables["batch_stats"])
+        pred_i8 = dsan_int8_forward(qp, heads, x)
+        assert pred_i8.shape == (2, 5)
+        assert "bottle" in heads
+        c = np.corrcoef(np.asarray(pred_fq).ravel(), np.asarray(pred_i8).ravel())[0, 1]
+        assert c > 0.9
+
 
 class TestArtifactMeta:
     def test_forward_kwargs_from_meta_roundtrip(self, tmp_path):
