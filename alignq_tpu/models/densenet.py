@@ -99,10 +99,22 @@ class DenseNet(nn.Module):
     drop_rate: float = 0.0
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
+    # Deploy-exact QAT: DenseNet is pre-activation (bn -> act_q -> relu ->
+    # conv), so every INT-graph conv input is exactly relu(act codes) and the
+    # ONLY train!=deploy requant site is the image stem
+    # (kernels/infer_densenet.py: "no requantization step exists anywhere
+    # except the image stem"). Use with variant='int8'.
+    deploy_exact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
         assert (self.depth - 4) % 3 == 0, "depth should be 3n+4"
+        if self.deploy_exact:
+            from alignq_tpu.quant.ste import requant_ste
+
+            # stem consumes S_IMG-quantized images (infer_densenet.py
+            # convert: qconv(None, 'conv1', S_IMG))
+            x = requant_ste(x, 3.0 / 127.0, 127)
         n = (self.depth - 4) // 3
         kw = dict(
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,

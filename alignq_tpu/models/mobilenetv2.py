@@ -43,6 +43,17 @@ class InvertedResidual(nn.Module):
     admm: bool
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
+    # deploy-exact block-input requantization (QAT->deploy gap closure):
+    # the INT graph requantizes the previous residual block's output
+    # a3 + relu(sc) — codes in [-g, 2g] on the act grid — onto the m=2
+    # block-input grid before conv1/shortcut consume it
+    # (kernels/infer_mobilenet.py _requant_codes(out_c, m_in, g,
+    # signed=True)). signed: a3 has no trailing relu, so the stream
+    # carries negative codes. None = off (block follows a stride-2 block
+    # or the stem, where the m=1 requant is a lossless clamp the QAT
+    # values never reach).
+    requant_m: int | None = None
+    requant_g: int = 127
 
     def _act(self, name):
         return QuantAct(
@@ -61,6 +72,17 @@ class InvertedResidual(nn.Module):
             mxu_dtype=self.mxu_dtype,
         )
         ura = not train
+
+        if self.requant_m is not None:
+            from alignq_tpu.quant.ste import requant_grid_ste
+
+            x = requant_grid_ste(
+                x,
+                self.act_range / self.requant_g,
+                self.requant_m,
+                self.requant_g,
+                True,  # signed: block outputs carry negative act_q3 codes
+            )
 
         out = QConv(features=planes, kernel_size=(1, 1), padding=0, name="conv1", **kw)(x)
         out = BatchNorm(ura, name="bn1")(out)
@@ -101,6 +123,13 @@ class MobileNetV2(nn.Module):
     admm: bool = False
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
+    # Deploy-exact QAT (VERDICT round-1 item 3, extended to the depthwise
+    # family): fake-quantize at the stem-input and residual block-edge
+    # requant sites exactly as the INT graph does at inference
+    # (kernels/infer_mobilenet.py: _linear_q(x, S_IMG) stem + signed m=2
+    # requant after every stride-1 block), so train == deploy. Use with
+    # variant='int8' (the deployable grid).
+    deploy_exact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -110,6 +139,13 @@ class MobileNetV2(nn.Module):
             variant=self.variant, act_range=self.act_range, admm=self.admm,
             cdf_impl=self.cdf_impl, mxu_dtype=self.mxu_dtype,
         )
+        requant_g = 2 ** (self.a_bit - 1) - 1
+        if self.deploy_exact:
+            from alignq_tpu.quant.ste import requant_ste
+
+            # stem consumes S_IMG-quantized images (infer_mobilenet.py
+            # convert: fold_path(None, 'conv1', 'bn1', S_IMG))
+            x = requant_ste(x, 3.0 / 127.0, 127)
         out = QConv(
             features=32, kernel_size=(3, 3), padding=1, use_bias=False,
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
@@ -124,14 +160,32 @@ class MobileNetV2(nn.Module):
         out = jax.nn.relu(out)
 
         idx = 0
+        # stream-grid multiplier entering each block: 1 after the stem or a
+        # stride-2 block (bare act codes), 2 after a stride-1 block (residual
+        # sum a3 + relu(sc), codes in [-g, 2g]) — infer_mobilenet.py m_in
+        m_in = 1
         for expansion, out_planes, num_blocks, stride in CFG:
             for s in [stride] + [1] * (num_blocks - 1):
                 out = InvertedResidual(
                     out_planes=out_planes, expansion=expansion, stride=s,
-                    name=f"layers_{idx}", **kw,
+                    name=f"layers_{idx}",
+                    requant_m=(
+                        m_in if self.deploy_exact and m_in > 1 else None
+                    ),
+                    requant_g=requant_g,
+                    **kw,
                 )(out, train, compute_corr)
+                m_in = 2 if s == 1 else 1
                 idx += 1
 
+        if self.deploy_exact and m_in > 1:
+            from alignq_tpu.quant.ste import requant_grid_ste
+
+            # the head conv consumes the last residual block's output through
+            # the same signed requant (infer_mobilenet.py: conv2 input)
+            out = requant_grid_ste(
+                out, self.act_range / requant_g, m_in, requant_g, True
+            )
         out = QConv(
             features=1280, kernel_size=(1, 1), padding=0, use_bias=False,
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,

@@ -45,13 +45,22 @@ def build_model(cfg: TrainConfig):
         mxu_dtype=jnp.bfloat16 if cfg.mxu_bf16 else None,
     )
     if cfg.deploy_exact:
-        if name not in ("resnet20_quant", "resnet56_quant"):
+        if name not in (
+            "resnet20_quant",
+            "resnet56_quant",
+            "mobile_v2",
+            "densenet_40_quant",
+        ):
             raise ValueError(
-                f"deploy_exact QAT is implemented for PreActResNet models, "
-                f"not {name!r}"
+                f"deploy_exact QAT is not implemented for {name!r}"
             )
         kwargs["deploy_exact"] = True
         if getattr(cfg, "stream_int8", False):
+            if name not in ("resnet20_quant", "resnet56_quant"):
+                raise ValueError(
+                    "stream_int8 (int8 residual stream) is a PreActResNet "
+                    "deploy option"
+                )
             kwargs["stream_int8"] = True
     elif getattr(cfg, "stream_int8", False):
         raise ValueError("stream_int8 requires deploy_exact")

@@ -88,14 +88,18 @@ def uniform_quantize(x: jax.Array, k: int, n: int | None = None) -> jax.Array:
     return round_ste(x * n) * (1.0 / n)
 
 
-def _requant_grid(x: jax.Array, act_scale: float, m: int, g: int) -> jax.Array:
+def _requant_grid(
+    x: jax.Array, act_scale: float, m: int, g: int, signed: bool = False
+) -> jax.Array:
     k = jnp.round(x * (1.0 / act_scale)).astype(jnp.int32)
-    c = jnp.clip((2 * k + m) // (2 * m), 0, g)
+    c = jnp.clip((2 * k + m) // (2 * m), -g if signed else 0, g)
     return c.astype(x.dtype) * (m * act_scale)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def requant_grid_ste(x: jax.Array, act_scale: float, m: int, g: int) -> jax.Array:
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def requant_grid_ste(
+    x: jax.Array, act_scale: float, m: int, g: int, signed: bool = False
+) -> jax.Array:
     """Deploy-exact residual requantization on an act-grid-aligned stream.
 
     The residual stream entering a ResNet block is a relu'd sum of act-grid
@@ -113,16 +117,24 @@ def requant_grid_ste(x: jax.Array, act_scale: float, m: int, g: int) -> jax.Arra
 
     Gradient: straight-through inside [0, g*m*act_scale], zero beyond the
     saturation bound (which the exact per-block bounds never reach).
+
+    signed=True admits negative stream codes (MobileNet-V2 block outputs
+    carry act_q3 with no trailing relu — kernels/infer_mobilenet.py
+    _requant_codes(signed=True)): clip range becomes [-g, g] codes and the
+    integer floor division (2K+m)//(2m) rounds half-up toward +inf for
+    negative K too, matching the INT graph's tie side exactly.
     """
-    return _requant_grid(x, act_scale, m, g)
+    return _requant_grid(x, act_scale, m, g, signed)
 
 
-def _requant_grid_fwd(x, act_scale, m, g):
-    return _requant_grid(x, act_scale, m, g), x
+def _requant_grid_fwd(x, act_scale, m, g, signed):
+    return _requant_grid(x, act_scale, m, g, signed), x
 
 
-def _requant_grid_bwd(act_scale, m, g, x, grad):
-    mask = (x >= 0) & (x <= g * m * act_scale)
+def _requant_grid_bwd(act_scale, m, g, signed, x, grad):
+    lim = g * m * act_scale
+    lo = -lim if signed else 0.0
+    mask = (x >= lo) & (x <= lim)
     return (jnp.where(mask, grad, 0.0),)
 
 

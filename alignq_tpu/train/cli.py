@@ -71,7 +71,8 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument(
         "--deploy_exact", action="store_true",
         help="model the INT graph's stem/residual requant sites in QAT "
-             "(PreActResNet; pair with --variant int8)",
+             "(PreActResNet / MobileNetV2 / DenseNet-40; pair with "
+             "--variant int8)",
     )
     p.add_argument(
         "--stream_int8", action="store_true",

@@ -40,7 +40,8 @@ class TrainConfig:
     # AlignQ specifics
     admm: bool = False
     # deploy-exact QAT: model the INT graph's stem/residual requant sites in
-    # training (resnet_cifar.py PreActResNet.deploy_exact); pair with
+    # training (resnet_cifar.py PreActResNet.deploy_exact; mobilenetv2.py
+    # stem + signed block edges; densenet.py stem only); pair with
     # variant='int8'
     deploy_exact: bool = False
     # int8 residual stream (requires deploy_exact): train the INT graph's

@@ -281,6 +281,52 @@ class TestDANNDeploy:
         assert c > 0.9
 
 
+class TestDigitDeploy:
+    def test_mnist_dann_int8_agrees_with_fake_quant(self):
+        """Digit DANN CNN: INT8 conv trunk + f32 MLP heads vs the QAT eval
+        forward. The trunk has NO requant site (stem aside), so random-init
+        agreement is tight."""
+        from alignq_tpu.kernels.infer_digit import (
+            convert_mnist_dann,
+            mnist_dann_int8_forward,
+        )
+        from alignq_tpu.models import mnist_model_quant
+
+        model = mnist_model_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        # digit inputs are normalized to [-1, 1] (data/digits.py mean/std .5)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(4), (16, 28, 28, 3), minval=-1.0, maxval=1.0
+        )
+        variables = model.init(jax.random.PRNGKey(5), x, train=False)
+        cls_fq, dom_fq = model.apply(variables, x, 0.0, train=False)
+        qp = convert_mnist_dann(variables["params"], variables["batch_stats"])
+        cls_i8, dom_i8 = mnist_dann_int8_forward(qp, x)
+        assert cls_i8.shape == (16, 10) and dom_i8.shape == (16, 2)
+        agree = (
+            np.asarray(cls_fq).argmax(-1) == np.asarray(cls_i8).argmax(-1)
+        ).mean()
+        assert agree >= 0.9
+        c = np.corrcoef(np.asarray(dom_fq).ravel(), np.asarray(dom_i8).ravel())[0, 1]
+        assert c > 0.9
+
+    def test_grayscale_input_tiled(self):
+        from alignq_tpu.kernels.infer_digit import (
+            convert_mnist_dann,
+            mnist_dann_int8_forward,
+        )
+        from alignq_tpu.models import mnist_model_quant
+
+        model = mnist_model_quant(bitW=8, abitW=8, method="ours", variant="int8")
+        x1 = jax.random.uniform(
+            jax.random.PRNGKey(6), (2, 28, 28, 1), minval=-1.0, maxval=1.0
+        )
+        variables = model.init(jax.random.PRNGKey(7), x1, train=False)
+        qp = convert_mnist_dann(variables["params"], variables["batch_stats"])
+        cls1, _ = mnist_dann_int8_forward(qp, x1)
+        cls3, _ = mnist_dann_int8_forward(qp, jnp.tile(x1, (1, 1, 1, 3)))
+        np.testing.assert_array_equal(np.asarray(cls1), np.asarray(cls3))
+
+
 class TestArtifactMeta:
     def test_forward_kwargs_from_meta_roundtrip(self, tmp_path):
         """Export-time deploy options survive the artifact and map back to

@@ -107,6 +107,36 @@ class TestSignedRequant:
         np.testing.assert_array_equal(np.asarray(cq)[ties], want_ties)
 
 
+class TestRequantGridSTESigned:
+    @pytest.mark.parametrize("g", [127, 7])
+    def test_signed_codes_match_int_graph(self, g):
+        """The MobileNet deploy-exact QAT site and the INT graph's signed
+        requant round identical codes from the grid-aligned stream (which
+        carries NEGATIVE codes: act_q3 has no trailing relu)."""
+        m = 2
+        act_scale = 2.0 / g
+        k = np.arange(-g - 3, 2 * g + 4)
+        x = jnp.asarray(
+            (k.astype(np.float32) * np.float32(1.0 / g)) * np.float32(2.0)
+        )
+        y = requant_grid_ste(x, act_scale, m, g, True)
+        got = np.asarray(jnp.round(y / (m * act_scale))).astype(np.int8)
+        want = np.asarray(
+            _requant_codes(jnp.asarray(k, jnp.int32), m, float(g), signed=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_signed_gradient_mask(self):
+        g, m = 7, 2
+        act_scale = 2.0 / 7
+        lim = g * m * act_scale
+        x = jnp.asarray([-lim - 0.5, -lim + 0.01, -0.5, 0.5, lim - 0.01, lim + 0.5])
+        grads = jax.grad(
+            lambda v: requant_grid_ste(v, act_scale, m, g, True).sum()
+        )(x)
+        np.testing.assert_array_equal(np.asarray(grads), [0, 1, 1, 1, 1, 0])
+
+
 class TestRequantGridSTE:
     @pytest.mark.parametrize("g", [127, 7])
     @pytest.mark.parametrize("m", [1, 2, 3, 4])
@@ -163,5 +193,54 @@ class TestDeployExactParity:
         logits_fq = np.asarray(model.apply(variables, x, train=False))
         qp = convert_resnet20(variables["params"], variables["batch_stats"])
         logits_i8 = np.asarray(resnet20_int8_forward(qp, x))
+        agree = (logits_fq.argmax(-1) == logits_i8.argmax(-1)).mean()
+        assert agree >= 0.9
+
+    def test_deploy_exact_mobilenet_matches_int_graph(self):
+        """MobileNetV2 deploy-exact QAT (stem S_IMG requant + signed m=2
+        block-edge requants) vs the INT graph at W4A4 — the width where the
+        requant sites matter. Structural check at random init; the trained
+        validation is tools/export_int8.py --model mobilenetv2 --bits 4
+        --deploy_exact (PARITY.md)."""
+        from alignq_tpu.kernels.infer_mobilenet import (
+            convert_mobilenetv2,
+            mobilenetv2_int8_forward,
+        )
+        from alignq_tpu.models import mobile_v2
+
+        model = mobile_v2(
+            bitW=4, abitW=4, method="ours", variant="int8", deploy_exact=True
+        )
+        x = jax.random.normal(jax.random.PRNGKey(5), (8, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(6), x, train=False)
+        logits_fq = np.asarray(model.apply(variables, x, train=False))
+        qp = convert_mobilenetv2(
+            variables["params"], variables["batch_stats"],
+            weight_bits=4, act_bits=4,
+        )
+        logits_i8 = np.asarray(mobilenetv2_int8_forward(qp, x, act_bits=4))
+        agree = (logits_fq.argmax(-1) == logits_i8.argmax(-1)).mean()
+        assert agree >= 0.9
+
+    def test_deploy_exact_densenet_matches_int_graph(self):
+        """DenseNet-40 deploy-exact QAT (stem-only site — pre-activation has
+        no residual requants) vs the INT graph at W4A4."""
+        from alignq_tpu.kernels.infer_densenet import (
+            convert_densenet40,
+            densenet40_int8_forward,
+        )
+        from alignq_tpu.models import densenet_40_quant
+
+        model = densenet_40_quant(
+            bitW=4, abitW=4, method="ours", variant="int8", deploy_exact=True
+        )
+        x = jax.random.normal(jax.random.PRNGKey(7), (8, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(8), x, train=False)
+        logits_fq = np.asarray(model.apply(variables, x, train=False))
+        qp = convert_densenet40(
+            variables["params"], variables["batch_stats"],
+            weight_bits=4, act_bits=4,
+        )
+        logits_i8 = np.asarray(densenet40_int8_forward(qp, x, act_bits=4))
         agree = (logits_fq.argmax(-1) == logits_i8.argmax(-1)).mean()
         assert agree >= 0.9

@@ -30,7 +30,7 @@ def main():
     p.add_argument("--bits", type=int, default=8, help="W/A bit width (8 or 4)")
     p.add_argument(
         "--model", default="resnet20",
-        choices=["resnet20", "resnet56", "mobilenetv2"],
+        choices=["resnet20", "resnet56", "mobilenetv2", "densenet40"],
     )
     p.add_argument(
         "--variant", default="int8",
@@ -74,17 +74,27 @@ def main():
         "--deploy_exact", action="store_true",
         help="deploy-exact QAT: fake-quantize the stem-input and residual "
              "requant sites during training exactly as the INT graph does "
-             "(resnet20 only)",
+             "(resnets: stem + per-block bounds; mobilenetv2: stem + signed "
+             "m=2 block edges; densenet40: stem only)",
     )
     a = p.parse_args()
 
     from alignq_tpu.data.registry import get_data
     from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+    from alignq_tpu.kernels.infer_densenet import (
+        convert_densenet40,
+        densenet40_int8_forward,
+    )
     from alignq_tpu.kernels.infer_mobilenet import (
         convert_mobilenetv2,
         mobilenetv2_int8_forward,
     )
-    from alignq_tpu.models import mobile_v2, resnet20_quant, resnet56_quant
+    from alignq_tpu.models import (
+        densenet_40_quant,
+        mobile_v2,
+        resnet20_quant,
+        resnet56_quant,
+    )
     from alignq_tpu.train import TrainConfig, make_eval_step
     from alignq_tpu.train.loop import fit
 
@@ -97,11 +107,12 @@ def main():
                      "resnet56_quant", ("conv0",)),
         "mobilenetv2": (mobile_v2, convert_mobilenetv2,
                         mobilenetv2_int8_forward, "mobile_v2", ()),
+        # DenseNet's correction set INCLUDES the stem conv1
+        # (dense-cifar-10/main.py walks all dense/trans convs)
+        "densenet40": (densenet_40_quant, convert_densenet40,
+                       densenet40_int8_forward, "densenet_40_quant", ()),
     }
     build, convert, int_forward, target, excl = builders[a.model]
-
-    if a.deploy_exact and a.model not in ("resnet20", "resnet56"):
-        p.error("--deploy_exact is implemented for PreActResNet models")
     cfg = TrainConfig(
         target_model=target, method="ours", bitW=a.bits,
         abitW=a.bits, variant=a.variant, dataset=a.dataset,
