@@ -7,6 +7,8 @@ main.py drivers).
         --tgt_data webcam --bitW 4
     python -m alignq_tpu.train.cli_da --task digit --src_data mnist \
         --tgt_data mnistm
+    python -m alignq_tpu.train.cli_da --task mdd --src_data amazon \
+        --tgt_data webcam --bitW 8
 """
 
 from __future__ import annotations
@@ -14,13 +16,13 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan
+from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan, fit_mdd
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="AlignQ-TPU domain-adaptation trainer")
     d = DAConfig()
-    p.add_argument("--task", choices=["dann", "dsan", "digit"], default="dann")
+    p.add_argument("--task", choices=["dann", "dsan", "mdd", "digit"], default="dann")
     p.add_argument("--arch", default="resnet50")
     p.add_argument("--method", default=d.method)
     p.add_argument("--bitW", type=int, default=d.bitW)
@@ -33,6 +35,8 @@ def main(argv=None):
     p.add_argument("--src_data", default=d.src_data)
     p.add_argument("--tgt_data", default=d.tgt_data)
     p.add_argument("--param", type=float, default=d.param)
+    p.add_argument("--srcweight", type=float, default=d.srcweight,
+                   help="MDD source-margin weight (models/mdd.py)")
     p.add_argument("--bottle_neck", action="store_true", default=True)
     p.add_argument("--img_size", type=int, default=d.img_size)
     p.add_argument("--image_size", type=int, default=224, help="office image size")
@@ -97,6 +101,14 @@ def main(argv=None):
                 cdf_impl=a.cdf_impl,
             )
             result = fit_dann(cfg, loaders, model, max_steps=a.max_steps)
+        elif a.task == "mdd":
+            from alignq_tpu.models import MDDNet
+
+            model = MDDNet(
+                arch=a.arch, num_classes=num_classes, w_bit=a.bitW,
+                a_bit=a.abitW, method=a.method, admm=a.admm,
+            )
+            result = fit_mdd(cfg, loaders, model, max_steps=a.max_steps)
         else:
             from alignq_tpu.models import DSAN
 

@@ -57,6 +57,10 @@ class DAConfig(TrainConfig):
     # (dsan_office/utils/options_office.py:26 STAGE='align'). Only observable
     # at abitW==32 (nn/layers.py QuantAct.stage).
     stage: str = "quant"
+    # MDD source-margin weight (models/mdd.py mdd_loss; reference
+    # dann_office/model/resnet.py:419 srcweight — dead code there, usable
+    # here via fit_mdd)
+    srcweight: float = 3.0
     lr: float = 1e-3
     weight_decay: float = 5e-4
     head_lr_mult: float = 10.0
@@ -387,6 +391,141 @@ def fit_dann(
         logger.info(
             f"DANN[{epoch}] loss {meters['loss'].avg:.4f} "
             f"src_acc {accs['src_test']:.2f} tgt_acc {accs['tgt_test']:.2f} "
+            f"(best {best['tgt_top1']:.2f}) [{time.time()-t0:.1f}s]"
+        )
+        if max_steps is not None and step >= max_steps:
+            break
+    return {"best_tgt_top1": best["tgt_top1"], "state": state}
+
+
+def make_mdd_train_step(model, cfg: DAConfig):
+    """One MDD step over a (source, target) batch pair.
+
+    The reference's MDD head is dead code (SURVEY.md C16 —
+    dann_office/model/resnet.py:345-457 is never constructed by a main.py),
+    so there is no reference driver to mirror; this follows the framework's
+    DANN two-pass convention (source pass then target pass, BN stats threaded
+    through both, ADMM duals updated from the source-pass D) and assembles
+    the canonical MDD objective (models/mdd.py mdd_loss) over the
+    concatenated classifier outputs.
+    """
+    from alignq_tpu.models.mdd import mdd_loss
+
+    admm_cfg = ADMMConfig(cfg.admm_mu, cfg.admm_rho)
+    use_admm = cfg.admm
+
+    def loss_fn(params, batch_stats, xs, ys, xt, coeff, duals, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats"] + (["admm_d"] if use_admm else [])
+        r1, r2 = jax.random.split(rng)
+        (_, src_out, _, src_adv), v1 = model.apply(
+            variables, xs, coeff, train=True, compute_corr=use_admm,
+            mutable=mutable, rngs={"dropout": r1},
+        )
+        (_, tgt_out, _, tgt_adv), v2 = model.apply(
+            {"params": params, "batch_stats": v1["batch_stats"]},
+            xt, coeff, train=True, compute_corr=use_admm, mutable=mutable,
+            rngs={"dropout": r2},
+        )
+        outputs = jnp.concatenate([src_out, tgt_out], axis=0)
+        outputs_adv = jnp.concatenate([src_adv, tgt_adv], axis=0)
+        loss = mdd_loss(outputs, outputs_adv, ys, srcweight=cfg.srcweight)
+        trans = 0.0
+        ds = {}
+        if use_admm:
+            ds_src = flatten_site_names(v1.get("admm_d", {}))
+            ds_tgt = flatten_site_names(v2.get("admm_d", {}))
+            trans = _trans_loss_from(ds_src, duals, admm_cfg) + _trans_loss_from(
+                ds_tgt, duals, admm_cfg
+            )
+            ds = ds_src
+        cls = cross_entropy_loss(src_out, ys)
+        aux = {"cls": cls, "trans": trans, "logits": src_out}
+        return loss + trans, (aux, v2["batch_stats"], ds)
+
+    def train_step(state: TrainState, xs, ys, xt, coeff):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (loss, (aux, new_bs, ds)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, xs, ys, xt, coeff, state.admm_duals, rng)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        if use_admm:
+            new_duals = {
+                name: dual_update(state.admm_duals[name], d, admm_cfg)
+                for name, d in ds.items()
+            }
+            new_state = new_state.replace(admm_duals=new_duals)
+        acc = jnp.mean(jnp.argmax(aux["logits"], -1) == ys)
+        return new_state, {
+            "loss": loss, "cls": aux["cls"], "trans": aux["trans"],
+            "accuracy": acc,
+        }
+
+    return train_step
+
+
+def fit_mdd(
+    cfg: DAConfig,
+    loaders: dict,
+    model,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """MDD training loop: zipped source/target loaders, annealed GRL
+    coefficient (models/mdd.py mdd_grl_coeff over total steps), DANN LR
+    schedule with 10x head groups. No reference driver exists (C16 dead
+    code); the loop shape mirrors fit_dann."""
+    from alignq_tpu.models.mdd import mdd_grl_coeff
+    from alignq_tpu.train.state import create_train_state
+
+    logger = get_logger(f"{cfg.job_dir}/logger.log")
+    steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
+    total_steps = steps_per_epoch * cfg.num_epochs
+
+    sample_shape = (1, *loaders["src_train"].x.shape[1:])
+    state = create_train_state(
+        jax.random.PRNGKey(cfg.seed), model, cfg, input_shape=sample_shape,
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx = make_da_optimizer(
+        cfg, state.params, total_steps,
+        head_prefixes=("bottleneck_fc", "bottleneck_bn", "classifier",
+                       "classifier_adv"),
+    )
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+
+    train_step = jax.jit(make_mdd_train_step(model, cfg), donate_argnums=(0,))
+
+    @jax.jit
+    def eval_step(state, x, y):
+        _, outputs, _, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, 0.0, train=False,
+        )
+        return {"top1": jnp.mean(jnp.argmax(outputs, -1) == y)}
+
+    best = {"tgt_top1": 0.0}
+    step = 0
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        meters = {k: AverageMeter() for k in ("loss", "accuracy")}
+        for (xs, ys), (xt, _) in zip(loaders["src_train"], loaders["tgt_train"]):
+            coeff = float(mdd_grl_coeff(step, max_iter=max(total_steps, 1)))
+            state, m = train_step(
+                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt), coeff
+            )
+            for k in meters:
+                meters[k].update(float(m[k]))
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+        am = AverageMeter()
+        for x, y in loaders["tgt_test"]:
+            em = eval_step(state, jnp.asarray(x), jnp.asarray(y))
+            am.update(float(em["top1"]) * 100, len(y))
+        best["tgt_top1"] = max(best["tgt_top1"], am.avg)
+        logger.info(
+            f"MDD[{epoch}] loss {meters['loss'].avg:.4f} "
+            f"src_acc {100*meters['accuracy'].avg:.2f} tgt_acc {am.avg:.2f} "
             f"(best {best['tgt_top1']:.2f}) [{time.time()-t0:.1f}s]"
         )
         if max_steps is not None and step >= max_steps:

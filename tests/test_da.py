@@ -208,3 +208,62 @@ class TestFitDSAN:
                      w_bit=4, a_bit=4, method="ours")
         result = fit_dsan(cfg, loaders, model, max_steps=2)
         assert "best_tgt_top1" in result
+
+
+class TestFitMDD:
+    def test_mdd_step_decreases_loss(self):
+        from alignq_tpu.models.mdd import MDDNet
+        from alignq_tpu.train.da import make_mdd_train_step
+        from alignq_tpu.train.state import create_train_state
+
+        cfg = DAConfig(
+            train_batch_size=4, bitW=4, abitW=4, num_classes=5,
+            correction_exclude=("base_network/conv1",),
+        )
+        model = MDDNet(arch="resnet18", num_classes=5, bottleneck_dim=32,
+                       width=32, w_bit=4, a_bit=4, method="ours")
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, cfg, input_shape=(1, 32, 32, 3),
+            steps_per_epoch=10,
+        )
+        from alignq_tpu.train.da import make_da_optimizer
+
+        tx = make_da_optimizer(
+            cfg, state.params, 10,
+            head_prefixes=("bottleneck_fc", "bottleneck_bn", "classifier",
+                           "classifier_adv"),
+        )
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        step = jax.jit(make_mdd_train_step(model, cfg))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        ys = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 5)
+        xt = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 32, 3)) + 0.5
+        first = None
+        for _ in range(6):
+            state, m = step(state, xs, ys, xt, 0.05)
+            assert np.isfinite(float(m["loss"]))
+            if first is None:
+                first = float(m["cls"])
+        assert float(m["cls"]) < first
+        assert set(m) == {"loss", "cls", "trans", "accuracy"}
+
+    def test_mdd_loop_smoke(self, tmp_path):
+        from alignq_tpu.data.digits import get_digit_domain
+        from alignq_tpu.models.mdd import MDDNet
+        from alignq_tpu.train.da import fit_mdd
+
+        cfg = DAConfig(
+            train_batch_size=8, eval_batch_size=8, bitW=4, abitW=4,
+            num_classes=10, num_epochs=1, job_dir=str(tmp_path),
+            correction_exclude=(),
+        )
+        loaders = {
+            "src_train": get_digit_domain("mnist", "/nonexistent", 8, train=True, img_size=32),
+            "tgt_train": get_digit_domain("mnistm", "/nonexistent", 8, train=True, img_size=32),
+            "tgt_test": get_digit_domain("mnistm", "/nonexistent", 8, train=False, img_size=32),
+        }
+        model = MDDNet(arch="resnet18", num_classes=10, bottleneck_dim=32,
+                       width=32, w_bit=4, a_bit=4, method="ours")
+        result = fit_mdd(cfg, loaders, model, max_steps=2)
+        assert "best_tgt_top1" in result
+        assert np.isfinite(result["best_tgt_top1"])

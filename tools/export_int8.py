@@ -26,6 +26,14 @@ def main():
     p.add_argument("--data_dir", default="/root/data")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument(
+        "--lr", type=float, default=None,
+        help="override TrainConfig.lr (default 0.04). MobileNetV2 diverges "
+             "from scratch at the default (ARCHITECTURE.md lr sweep) — use "
+             "--lr 0.01 --warmup_epochs 1 so the agreement measurement runs "
+             "on a net with real logit margins, not a chance-level one",
+    )
+    p.add_argument("--warmup_epochs", type=float, default=None)
     p.add_argument("--job_dir", default="/tmp/alignq_export")
     p.add_argument("--bits", type=int, default=8, help="W/A bit width (8 or 4)")
     p.add_argument(
@@ -120,6 +128,8 @@ def main():
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
         correction_exclude=excl, deploy_exact=a.deploy_exact,
         cdf_impl=a.cdf_impl,
+        **({"lr": a.lr} if a.lr is not None else {}),
+        **({"warmup_epochs": a.warmup_epochs} if a.warmup_epochs is not None else {}),
     )
     data = get_data(cfg.dataset, cfg.data_dir, cfg.train_batch_size,
                     cfg.eval_batch_size, cfg.seed)
