@@ -103,23 +103,32 @@ def mobilenetv2_int8_forward(
     qparams: Dict[str, Any], x: jax.Array, act_bits: int = 8,
     act_impl: str = "erf",
 ) -> jax.Array:
-    """The inter-block stream is carried as INT16 CODES in act_scale units
-    (stride-1 block outputs a3 + relu(sc) are grid-aligned sums, and the
-    S_RES requant ratio K/2 lands exactly on .5 ties at every odd K — a
-    float stream is fusion-nondeterministic there, exactly the ResNet-20
-    case; kernels/infer.py _requant_codes). signed=True: a3 has no trailing
-    relu, so block-output codes can be negative."""
+    """The inter-block stream is INTEGER CODES (stride-1 block outputs
+    a3 + relu(sc) are grid-aligned sums, and the S_RES requant ratio K/2
+    lands exactly on .5 ties at every odd K — a float stream is
+    fusion-nondeterministic there, exactly the ResNet-20 case;
+    kernels/infer.py _requant_codes). signed=True: a3 has no trailing relu,
+    so block-output codes can be negative.
+
+    The stream is stored as INT8: every consumer of a block's output (the
+    next block's conv1+shortcut, or the head conv) applies the SAME static
+    requant `_requant_codes(out_c, m, g, signed=True)` with m fixed by the
+    PRODUCING block's stride (m=2 residual sum, m=1 bare act), so the
+    requant is applied once at the production site and the int16 code sum
+    never leaves the block — bit-identical to requant-at-consumption by
+    construction (verified in tests/test_kernels.py), at half the
+    inter-block HBM bytes."""
     g = _act_g(act_bits)
     act_scale = 2.0 / g
 
-    # stem: conv1 -> bn1 -> act_q1 -> relu (mobilenetV2.py:115-118)
+    # stem: conv1 -> bn1 -> act_q1 -> relu (mobilenetV2.py:115-118); the
+    # stem's m=1 "requant" is a lossless clamp of relu codes already in
+    # [0, g] — fold it into the store
     h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 1, 1)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
-    m_in = 1  # stream grid = m_in * act_scale (1 after bare act, 2 after residual)
+    x8 = jnp.maximum(_erfq_codes(h, act_bits, act_impl), 0)
 
     for blk in qparams["blocks"]:
         s = 1 if "shortcut" in blk else 2
-        x8 = _requant_codes(out_c, m_in, g, signed=True)
         planes = blk["conv2"].kernel_int8.shape[-1]
 
         h = _conv(x8, blk["conv1"], 1, 0)
@@ -136,13 +145,13 @@ def mobilenetv2_int8_forward(
         if "shortcut" in blk:
             sc_h = _conv(x8, blk["shortcut"], 1, 0)
             sc_c = jnp.maximum(_erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16), 0)
-            out_c = a3_c + sc_c  # range [-g, 2g] -> S_RES grid (m=2)
-            m_in = 2
+            # residual sum in [-g, 2g] -> S_RES grid (m=2), stored int8
+            x8 = _requant_codes(a3_c + sc_c, 2, g, signed=True)
         else:
-            out_c = a3_c
-            m_in = 1
+            # bare act codes already in [-g, g]; m=1 clamp is the identity
+            x8 = _requant_codes(a3_c, 1, g, signed=True)
 
-    h = _conv(_requant_codes(out_c, m_in, g, signed=True), qparams["conv2"], 1, 0)
+    h = _conv(x8, qparams["conv2"], 1, 0)
     out = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
     feat = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) * act_scale
     return feat @ qparams["linear"]["kernel"] + qparams["linear"]["bias"]

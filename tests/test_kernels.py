@@ -140,6 +140,58 @@ class TestInt8MobileNet:
         assert np.isfinite(i8).all()
         assert (fq.argmax(-1) == i8.argmax(-1)).mean() >= 0.75
 
+    def test_int8_stream_bit_identical_to_int16_consumer_side(self):
+        """The production graph stores the inter-block stream as int8 codes
+        requantized at the PRODUCING block (infer_mobilenet.py docstring);
+        this re-runs the original int16-stream formulation (code sum carried,
+        requant at each consumer) and asserts bit equality — the refactor is
+        a storage change, not a semantic one."""
+        from alignq_tpu.kernels.infer import _act_g, _erfq_codes, _linear_q, _requant_codes
+        from alignq_tpu.kernels.infer_mobilenet import (
+            _conv,
+            convert_mobilenetv2,
+            mobilenetv2_int8_forward,
+        )
+        from alignq_tpu.kernels.infer import S_IMG
+        from alignq_tpu.models import mobile_v2
+
+        def int16_stream_forward(qparams, x, act_bits=8):
+            g = _act_g(act_bits)
+            act_scale = 2.0 / g
+            h = _conv(_linear_q(x, S_IMG), qparams["conv1"], 1, 1)
+            out_c = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
+            m_in = 1
+            for blk in qparams["blocks"]:
+                s = 1 if "shortcut" in blk else 2
+                x8 = _requant_codes(out_c, m_in, g, signed=True)
+                planes = blk["conv2"].kernel_int8.shape[-1]
+                h = _conv(x8, blk["conv1"], 1, 0)
+                r = jnp.maximum(_erfq_codes(h, act_bits), 0)
+                h = _conv(r.astype(jnp.int8), blk["conv2"], s, 1, groups=planes)
+                r = jnp.maximum(_erfq_codes(h, act_bits), 0)
+                h = _conv(r.astype(jnp.int8), blk["conv3"], 1, 0)
+                a3_c = _erfq_codes(h, act_bits).astype(jnp.int16)
+                if "shortcut" in blk:
+                    sc_h = _conv(x8, blk["shortcut"], 1, 0)
+                    sc_c = jnp.maximum(
+                        _erfq_codes(sc_h, act_bits).astype(jnp.int16), 0)
+                    out_c, m_in = a3_c + sc_c, 2
+                else:
+                    out_c, m_in = a3_c, 1
+            h = _conv(_requant_codes(out_c, m_in, g, signed=True),
+                      qparams["conv2"], 1, 0)
+            out = jnp.maximum(_erfq_codes(h, act_bits).astype(jnp.int16), 0)
+            feat = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) * act_scale
+            return feat @ qparams["linear"]["kernel"] + qparams["linear"]["bias"]
+
+        model = mobile_v2(8, 8, "ours", variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(7), (4, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(8), x, train=False)
+        qp = convert_mobilenetv2(variables["params"], variables["batch_stats"])
+        new = np.asarray(jax.jit(mobilenetv2_int8_forward)(qp, x))
+        old = np.asarray(jax.jit(int16_stream_forward)(qp, x))
+        np.testing.assert_array_equal(new, old)
+
     def test_mobilenet_block_structure(self):
         from alignq_tpu.kernels.infer_mobilenet import convert_mobilenetv2
         from alignq_tpu.models import mobile_v2
