@@ -148,7 +148,11 @@ def main():
     # ALIGNQ_BENCH_SMOKE=1: tiny shapes/chains for a CPU correctness pass
     # (the driver's real run on TPU uses the defaults below)
     smoke = os.environ.get("ALIGNQ_BENCH_SMOKE") == "1"
-    batch = 64 if smoke else 1024
+    # batch 2048: best of the same-process sweep on the fast stack
+    # (tools/headline_batch_ab.py: 1024 -> 442.5K, 2048 -> 456.4K,
+    # 4096 -> 445.5K img/s — the poly-only graph kept gaining to 4096, but
+    # the int8 stream halves residual HBM traffic and moves the sweet spot)
+    batch = 64 if smoke else 2048
     from alignq_tpu.kernels import infer as qinfer
 
     _, (qparams, x) = qinfer.build_resnet20_int8(batch)

@@ -60,6 +60,8 @@ def bench_resnet20(results, batches=(1024, 2048, 4096)):
 
 
 def bench_resnet56(results, batch=1024):
+    import functools
+
     from alignq_tpu.kernels.infer import convert_preact_resnet, resnet20_int8_forward
     from alignq_tpu.models import resnet56_quant
 
@@ -68,6 +70,12 @@ def bench_resnet56(results, batch=1024):
     v = model.init(jax.random.PRNGKey(1), x, train=False)
     qp = convert_preact_resnet(v["params"], v["batch_stats"])
     _measure_forward(f"resnet56_b{batch}", resnet20_int8_forward, qp, x, results)
+    # fast-deploy stack (same depth-generic forward as resnet20)
+    _measure_forward(
+        f"resnet56_fast_b{batch}",
+        functools.partial(resnet20_int8_forward, act_impl="poly", stream="int8"),
+        qp, x, results,
+    )
 
 
 def bench_densenet40(results, batch=1024):
@@ -80,8 +88,15 @@ def bench_densenet40(results, batch=1024):
     model = densenet_40_quant(bitW=8, abitW=8, method="ours")
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
     v = model.init(jax.random.PRNGKey(1), x, train=False)
+    import functools
+
     qp = convert_densenet40(v["params"], v["batch_stats"])
     _measure_forward(f"densenet40_b{batch}", densenet40_int8_forward, qp, x, results)
+    _measure_forward(
+        f"densenet40_poly_b{batch}",
+        functools.partial(densenet40_int8_forward, act_impl="poly"),
+        qp, x, results,
+    )
 
 
 def bench_mobilenetv2(results, batch=1024):
