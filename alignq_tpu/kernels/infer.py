@@ -382,13 +382,15 @@ def resnet20_int8_forward(
                 j += 1
             bsz, hh, ww, c = out_c.shape
             wt, scale, bias = pack_block_weights(layers[i:j])
-            stream = out_c.transpose(3, 0, 1, 2).reshape(c, -1)
-            stream = stage_identity_blocks(
-                stream, wt, scale, bias, tuple(ms[i:j]), g=int(g),
+            # NOTE: do not name this `stream` — that would shadow the string
+            # argument consulted by the `stream == "int8"` branches below
+            flat_c = out_c.transpose(3, 0, 1, 2).reshape(c, -1)
+            flat_c = stage_identity_blocks(
+                flat_c, wt, scale, bias, tuple(ms[i:j]), g=int(g),
                 w_img=ww, h_img=hh,
                 chunk_imgs=_stage_kernel_chunk_imgs(c, hh, ww, bsz),
             )
-            out_c = stream.reshape(c, bsz, hh, ww).transpose(1, 2, 3, 0)
+            out_c = flat_c.reshape(c, bsz, hh, ww).transpose(1, 2, 3, 0)
             i = j
             continue
         m = ms[i]

@@ -340,11 +340,20 @@ def fit_dann(
     max_steps: Optional[int] = None,
 ) -> dict:
     """DANN training loop over zipped source/target loaders
-    (dann_office/main.py:344-347)."""
+    (dann_office/main.py:344-347).
+
+    Reference delta (SURVEY.md 2.4 policy — intended semantics, documented):
+    the reference sizes its ramps with max(len(src), len(tgt)) steps/epoch
+    (dann_office/main.py:344-345) but zip() stops at the MIN, so with uneven
+    loaders its GRL alpha and LR ramps never reach their terminal values.
+    Here total_steps = min(...) * epochs — the number of steps actually
+    executed — so p reaches 1.0 and the schedules complete as intended.
+    fit_dsan/fit_mdd already use min for the same reason.
+    """
     from alignq_tpu.train.state import create_train_state
 
     logger = get_logger(f"{cfg.job_dir}/logger.log")
-    steps_per_epoch = max(len(loaders["src_train"]), len(loaders["tgt_train"]))
+    steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 
     sample_shape = (1, *loaders["src_train"].x.shape[1:])

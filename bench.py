@@ -165,34 +165,14 @@ def main():
             qargs, x, act_impl="poly", stream="int8"
         )
 
-    def make_chain(n: int):
-        @jax.jit
-        def prog(qargs, x):
-            acc = 0.0
-            for _ in range(n):
-                logits = fwd(qargs, x)
-                s = jnp.mean(logits) * 1e-6
-                x = x + s  # next input depends on this forward's output
-                acc = acc + s
-            return acc
-
-        return prog
-
-    def timed_fetch(prog, qargs, x, reps: int = 3) -> float:
-        _ = np.asarray(prog(qargs, x))  # compile + settle
-        best = float("inf")
-        for r in range(reps):
-            xr = x + jnp.float32(r)
-            _ = np.asarray(jnp.mean(xr))  # settle the input upload
-            t0 = time.perf_counter()
-            _ = np.asarray(prog(qargs, xr))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # one shared implementation of the chain protocol (tools/honest_timing.py)
+    # so this headline and the batch-sweep tool measure identically
+    from tools.honest_timing import headline_measure
 
     n1, n2 = (1, 3) if smoke else (8, 40)
-    t1 = timed_fetch(make_chain(n1), qparams, x, reps=1 if smoke else 3)
-    t2 = timed_fetch(make_chain(n2), qparams, x, reps=1 if smoke else 3)
-    dt = (t2 - t1) / (n2 - n1)
+    dt = headline_measure(
+        fwd, qparams, x, n1=n1, n2=n2, reps=1 if smoke else 3
+    )
     images_per_sec = batch / dt
 
     metric = "resnet20_cifar10_int8_inference_images_per_sec_per_chip"

@@ -42,6 +42,51 @@ def timed_fetch(prog, carry, reps=3):
     return best
 
 
+def headline_chain(fwd, n):
+    """ONE jitted program: n data-dependent forwards of fwd(qargs, x).
+
+    Each iteration perturbs x by a scalar derived from the previous
+    forward's output, so the device can neither parallelize nor elide the
+    chain. Shared by bench.py (the headline) and tools/headline_batch_ab.py
+    (the batch sweep) — one implementation so the 'same protocol' claim
+    holds by construction."""
+
+    @jax.jit
+    def prog(qargs, x):
+        acc = 0.0
+        for _ in range(n):
+            out = fwd(qargs, x)
+            s = jnp.mean(out) * 1e-6
+            x = x + s  # next input depends on this forward's output
+            acc = acc + s
+        return acc
+
+    return prog
+
+
+def headline_timed_fetch(prog, qargs, x, reps=3):
+    """Min wall time from dispatch to VALUE FETCH of the chain's scalar.
+
+    Each rep uses a distinct (settled) input so the backend cannot serve a
+    cached result for a repeated identical call."""
+    _ = np.asarray(prog(qargs, x))  # compile + settle
+    best = float("inf")
+    for r in range(reps):
+        xr = x + jnp.float32(r)
+        _ = np.asarray(jnp.mean(xr))  # settle the input upload
+        t0 = time.perf_counter()
+        _ = np.asarray(prog(qargs, xr))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def headline_measure(fwd, qargs, x, n1=8, n2=40, reps=3):
+    """Differenced chained measurement of fwd(qargs, x); returns dt (s)."""
+    t1 = headline_timed_fetch(headline_chain(fwd, n1), qargs, x, reps)
+    t2 = headline_timed_fetch(headline_chain(fwd, n2), qargs, x, reps)
+    return (t2 - t1) / (n2 - n1)
+
+
 def measure(name, step, carry, n1=6, n2=30, flops=0.0, results=None, reps=3, quiet=False):
     """Differenced chained measurement; prints one JSON line; returns dt (s)."""
     t1 = timed_fetch(chained(step, n1), carry, reps)

@@ -6,6 +6,12 @@ each family's e2e int8 graph with the chained value-fetch protocol
 (tools/honest_timing.py). Also sweeps the ResNet-20 batch size — bigger
 batches amortize fixed per-launch overheads and fill the MXU M dimension.
 
+Fast-stack coverage per family: the PreAct CIFAR ResNets (resnet20/56) get
+a `_fast` row (poly act grid + int8 residual stream) because `stream='int8'`
+is a property of the PreAct residual code stream (kernels/infer.py);
+DenseNet-40 / MobileNetV2 / ResNet-50 have no equivalent stream knob, so
+their fast row is poly-only — that asymmetry is structural, not an omission.
+
 Prints one JSON line per row:
   {"name": "resnet20_b1024", "ms": ..., "imgs_per_sec": ...}
 
@@ -55,6 +61,11 @@ def bench_resnet20(results, batches=(1024, 2048, 4096)):
         _measure_forward(
             f"resnet20_poly_b{b}",
             functools.partial(resnet20_int8_forward, act_impl="poly"),
+            qp, x, results,
+        )
+        _measure_forward(
+            f"resnet20_fast_b{b}",
+            functools.partial(resnet20_int8_forward, act_impl="poly", stream="int8"),
             qp, x, results,
         )
 
