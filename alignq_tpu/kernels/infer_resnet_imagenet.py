@@ -255,3 +255,61 @@ def convert_dsan(
     if "bottle" in params:
         heads["bottle"] = dict(params["bottle"])
     return qparams, heads
+
+
+def mdd_int8_forward(
+    qparams: Dict[str, Any],
+    heads: Dict[str, Any],
+    x: jax.Array,
+    act_bits: int = 8,
+    act_impl: str = "erf",
+) -> jax.Array:
+    """Deploy a trained MDD net (models/mdd.py MDDNet; reference
+    dann_office/model/resnet.py:366-410, dead code there): INT8 feature
+    trunk + f32 bottleneck (fc -> bn -> relu) + classifier MLP
+    (fc0 -> relu -> fc1). The adversarial classifier and GRL are
+    training-only (the margin objective needs them; prediction uses
+    `outputs` — fit_mdd's eval path); dropout is identity at inference.
+    Returns class logits."""
+    feat = resnet_imagenet_int8_forward(qparams, x, act_bits, act_impl)
+    if "bottleneck_fc" in heads:
+        bfc = heads["bottleneck_fc"]
+        feat = feat @ bfc["kernel"] + bfc["bias"]
+        bn = heads["bottleneck_bn"]
+        feat = (feat - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5)
+        feat = feat * bn["scale"] + bn["bias"]
+        feat = jax.nn.relu(feat)
+    cls = heads["classifier"]
+    h = jax.nn.relu(feat @ cls["fc0"]["kernel"] + cls["fc0"]["bias"])
+    return h @ cls["fc1"]["kernel"] + cls["fc1"]["bias"]
+
+
+def convert_mdd(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    weight_bits: int = 8,
+    act_bits: int = 8,
+) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split a trained MDDNet into (int8 trunk qparams, f32 heads).
+
+    heads carries the bottleneck fc + folded-in BN statistics (when the net
+    was built with use_bottleneck) and the prediction classifier MLP; the
+    adversarial head is dropped (training-only, mdd_int8_forward docstring).
+    """
+    qparams = convert_resnet_imagenet(
+        params["base_network"], batch_stats.get("base_network", {}),
+        weight_bits=weight_bits, act_bits=act_bits,
+    )
+    heads: Dict[str, Any] = {"classifier": {
+        "fc0": dict(params["classifier"]["fc0"]),
+        "fc1": dict(params["classifier"]["fc1"]),
+    }}
+    if "bottleneck_fc" in params:
+        heads["bottleneck_fc"] = dict(params["bottleneck_fc"])
+        heads["bottleneck_bn"] = {
+            "scale": params["bottleneck_bn"]["scale"],
+            "bias": params["bottleneck_bn"]["bias"],
+            "mean": batch_stats["bottleneck_bn"]["mean"],
+            "var": batch_stats["bottleneck_bn"]["var"],
+        }
+    return qparams, heads

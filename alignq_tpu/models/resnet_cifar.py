@@ -60,6 +60,10 @@ class PreActBlock(nn.Module):
     admm: bool = False
     channelwise: bool = False
     cdf_impl: str = "erf"  # act-site CDF: 'erf' | 'poly' (quant/cdf.py)
+    # corr standardization eps (nn/layers.py QuantAct.corr_eps): 1e-5 = the
+    # guarded office form (default); 0.0 = the raw-std r20/r56 reference form
+    # (quantization.py:134-137) — used by tools/reference_parity.py
+    corr_eps: float = 1e-5
     mxu_dtype: jnp.dtype | None = None
     # deploy-exact requantization of this block's input (QAT->deploy gap
     # closure): fake-quantize the conv0/skip input on the grid the INT graph
@@ -94,6 +98,7 @@ class PreActBlock(nn.Module):
             variant=self.variant,
             admm=self.admm,
             cdf_impl=self.cdf_impl,
+            corr_eps=self.corr_eps,
             name=name,
         )
 
@@ -164,6 +169,8 @@ class PreActResNet(nn.Module):
     admm: bool = False
     channelwise: bool = False
     cdf_impl: str = "erf"  # act-site CDF: 'erf' | 'poly' (quant/cdf.py)
+    # corr standardization eps (see PreActBlock.corr_eps)
+    corr_eps: float = 1e-5
     block_bits: Sequence[int] | None = None
     mxu_dtype: jnp.dtype | None = None
     # Deploy-exact QAT (VERDICT.md round-1 item 3): fake-quantize at the
@@ -223,6 +230,7 @@ class PreActResNet(nn.Module):
                 variant=self.variant,
                 admm=self.admm,
                 cdf_impl=self.cdf_impl,
+                corr_eps=self.corr_eps,
                 name="act_q0",
             )(out, compute_corr)
             out = jax.nn.relu(out)
@@ -272,6 +280,7 @@ class PreActResNet(nn.Module):
                 admm=self.admm,
                 channelwise=self.channelwise,
                 cdf_impl=self.cdf_impl,
+                corr_eps=self.corr_eps,
                 mxu_dtype=self.mxu_dtype,
                 # stream_int8: the edge requant below covers conv input AND
                 # shortcut; the block-internal input requant must be off

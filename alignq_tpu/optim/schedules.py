@@ -28,7 +28,14 @@ def multistep_schedule(
     e.g. mobilenet main.py --pretrained); needed for from-scratch training
     of MobileNetV2-class models, which diverge at the reference lr=0.04
     cold (measured, ARCHITECTURE.md sweep table)."""
-    boundaries = {int(e) * steps_per_epoch: gamma for e in milestones_epochs}
+    # clamp to int32: the step counter is int32; a boundary past 2^31-1
+    # (huge num_epochs or sentinel milestones) would otherwise wrap negative
+    # inside optax's comparison and silently pre-decay the LR from step 0
+    max_step = 2**31 - 1
+    boundaries = {
+        min(int(e) * steps_per_epoch, max_step): gamma
+        for e in milestones_epochs
+    }
     piecewise = optax.piecewise_constant_schedule(1.0, boundaries)
     warmup_steps = warmup_epochs * steps_per_epoch
 

@@ -60,6 +60,34 @@ def _sign_ste_bwd(_, g):
 sign_ste.defvjp(_sign_ste_fwd, _sign_ste_bwd)
 
 
+# Trace-time dequantization mode: 'recip' (production default) or 'div'.
+# 'div' exists for bit-level parity against the reference's literal
+# `round(x*n)/n` (tools/reference_parity.py): the reciprocal multiply is
+# <=1 ulp from IEEE division, and that ulp is LOAD-BEARING at the quantized
+# grid's structural exact-zero ties (act_q1 == -shortcut residual
+# cancellations), where it flips relu vjp masks — measured O(1e-2) gradient
+# differences between two TORCH nets differing only in `/n` vs `*(1/n)`.
+_DEQUANT_MODE = "recip"
+
+
+class dequant_division:
+    """Context manager: uniform_quantize dequantizes with true division
+    (`/ n`), bit-matching the reference's grid values (quantization.py:29-31)
+    in EAGER f64 execution. Parity-harness use only — the production 'recip'
+    default is what keeps grid values bit-identical across jit/eager/fusion
+    (see uniform_quantize's comment); division is IEEE-exact in eager but not
+    under every XLA compilation."""
+
+    def __enter__(self):
+        global _DEQUANT_MODE
+        self._prev = _DEQUANT_MODE
+        _DEQUANT_MODE = "div"
+
+    def __exit__(self, *exc):
+        global _DEQUANT_MODE
+        _DEQUANT_MODE = self._prev
+
+
 def uniform_quantize(x: jax.Array, k: int, n: int | None = None) -> jax.Array:
     """k-bit uniform fake quantization with STE backward.
 
@@ -76,6 +104,8 @@ def uniform_quantize(x: jax.Array, k: int, n: int | None = None) -> jax.Array:
     if k == 1:
         return sign_ste(x)
     n = float(n if n is not None else 2**k - 1)
+    if _DEQUANT_MODE == "div":
+        return round_ste(x * n) / n
     # Dequantize by multiplying with the trace-time reciprocal constant, NOT
     # `/ n`: XLA compiles division to a reciprocal-refinement sequence whose
     # result differs from IEEE division by 1 ulp for some operands AND differs

@@ -59,6 +59,12 @@ class TrainConfig:
     # which conv kernels get the PDF-corrected gradient; the stem is excluded
     # for ResNet (main.py:300 idx[1:]) but included for DenseNet/MobileNet
     correction_exclude: Sequence[str] = ("conv0",)
+    # False = plain SGD(momentum, wd) for all params. This is ALSO the
+    # committed reference's effective behavior: its SGD.step assigns the
+    # corrected gradient to p.grad but updates p.data with the uncorrected
+    # momentum buffer (optimizer.py:249-251; SURVEY.md 2.4.7). True (default)
+    # applies the paper's intended correction (optim/correction.py).
+    use_correction: bool = True
     # cross-device corr mode: 'local' (per-shard block-diag, default) or
     # 'gather' (exact global-batch matrix via all_gather) — SURVEY.md section 5
     corr_mode: str = "local"

@@ -106,7 +106,7 @@ def create_train_state(
         lam=cfg.lam,
         lam2=cfg.lam2,
         correction_mask=mask,
-        use_correction=(cfg.method == "ours"),
+        use_correction=(cfg.method == "ours" and cfg.use_correction),
     )
     return TrainState(
         step=jnp.zeros((), jnp.int32),

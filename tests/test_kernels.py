@@ -313,6 +313,28 @@ class TestDANNDeploy:
         c = np.corrcoef(np.asarray(cls_fq).ravel(), np.asarray(cls_i8).ravel())[0, 1]
         assert c > 0.9
 
+    def test_mdd_int8_tracks_fake_quant(self):
+        """MDD deployment (VERDICT.md round-2 item 6): int8 trunk + f32
+        bottleneck/classifier vs the QAT eval forward's `outputs` head."""
+        from alignq_tpu.kernels.infer_resnet_imagenet import (
+            convert_mdd,
+            mdd_int8_forward,
+        )
+        from alignq_tpu.models.mdd import MDDNet
+
+        model = MDDNet(arch="resnet18", num_classes=5, bottleneck_dim=32,
+                       width=32, w_bit=8, a_bit=8, method="ours",
+                       variant="int8")
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(5), x, train=False)
+        _, out_fq, _, _ = model.apply(variables, x, 0.0, train=False)
+        qp, heads = convert_mdd(variables["params"], variables["batch_stats"])
+        out_i8 = mdd_int8_forward(qp, heads, x)
+        assert out_i8.shape == (2, 5)
+        assert "bottleneck_fc" in heads and "classifier_adv" not in heads
+        c = np.corrcoef(np.asarray(out_fq).ravel(), np.asarray(out_i8).ravel())[0, 1]
+        assert c > 0.9
+
     def test_dsan_int8_tracks_fake_quant(self):
         from alignq_tpu.kernels.infer_resnet_imagenet import (
             convert_dsan,

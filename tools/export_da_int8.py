@@ -26,7 +26,8 @@ import numpy as np
 def main():
     sys.path.insert(0, "/root/repo")
     p = argparse.ArgumentParser()
-    p.add_argument("--task", choices=["digit", "dann", "dsan"], default="digit")
+    p.add_argument("--task", choices=["digit", "dann", "dsan", "mdd"],
+                   default="digit")
     p.add_argument("--arch", default="resnet18")
     p.add_argument("--bits", type=int, default=8)
     p.add_argument("--epochs", type=int, default=2)
@@ -40,7 +41,7 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     a = p.parse_args()
 
-    from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan
+    from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan, fit_mdd
 
     bits = a.bits
     if a.task == "digit":
@@ -83,8 +84,10 @@ def main():
         from alignq_tpu.kernels.infer_resnet_imagenet import (
             convert_dann,
             convert_dsan,
+            convert_mdd,
             dann_int8_forward,
             dsan_int8_forward,
+            mdd_int8_forward,
         )
 
         src = a.src_data or "dslr"
@@ -113,7 +116,7 @@ def main():
             fq_fwd = jax.jit(
                 lambda v, x: model.apply(v, x, 0.0, train=False)[0]
             )
-        else:
+        elif a.task == "dsan":
             from alignq_tpu.models import DSAN
 
             model = DSAN(arch=a.arch, num_classes=31, bottle_neck=True,
@@ -126,6 +129,22 @@ def main():
                 lambda q, h, x: dsan_int8_forward(q, h, x, act_bits=bits)
             )
             fq_fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        else:  # mdd
+            from alignq_tpu.models.mdd import MDDNet
+
+            model = MDDNet(arch=a.arch, num_classes=31, w_bit=bits,
+                           a_bit=bits, method="ours", variant="int8")
+            result = fit_mdd(cfg, loaders, model, max_steps=a.max_steps)
+            state = result["state"]
+            qp, heads = convert_mdd(state.params, state.batch_stats,
+                                    weight_bits=bits, act_bits=bits)
+            int_fwd = jax.jit(
+                lambda q, h, x: mdd_int8_forward(q, h, x, act_bits=bits)
+            )
+            # prediction head = `outputs` (fit_mdd eval path)
+            fq_fwd = jax.jit(
+                lambda v, x: model.apply(v, x, 0.0, train=False)[1]
+            )
         int_fwd_q = int_fwd
         int_fwd = lambda q, x: int_fwd_q(q, heads, x)  # noqa: E731
 
