@@ -156,9 +156,13 @@ def make_dann_train_step(model, cfg: DAConfig):
             trans = _trans_loss_from(ds_src, duals, admm_cfg) + _trans_loss_from(
                 ds_tgt, duals, admm_cfg
             )
-            # duals are updated from the source-pass D (one site, one dual —
-            # the reference shares the module's ADMM params across both
-            # passes too)
+            # duals are updated from the SOURCE-pass D. Reference delta
+            # (SURVEY.md 2.4.8, intended semantics): the committed driver
+            # harvests block.admm0.D — the attribute written by the LAST
+            # forward, i.e. the TARGET pass — and additionally SGD-steps
+            # gamma before the dual assignment (2.4.9, duals-as-params
+            # artifact). Both committed behaviors are verified against the
+            # actual reference code by tools/reference_parity_dann.py.
             ds = ds_src
         if cfg.src_only_flag:
             loss = src_class_loss

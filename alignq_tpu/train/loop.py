@@ -123,8 +123,24 @@ def fit(
     writer_train = MetricWriter(cfg.job_dir, "train")
     writer_test = MetricWriter(cfg.job_dir, "test")
 
+    eval_model = model
     if model is None:
         model = model_registry.build_model(cfg)
+        eval_model = model
+        if cfg.mxu_bf16:
+            # Mixed-precision QAT (VERDICT.md round-2 item 5): the TRAIN step
+            # runs bf16-MXU convs (2.8x the f32-HIGHEST step,
+            # ARCHITECTURE.md QAT breakdown) while eval — and any export from
+            # the trained params — runs the f32-HIGHEST forward on the SAME
+            # params. Deploy-exact train==deploy agreement is a property of
+            # the (eval forward, INT graph) pair, and round 2's 6.6-pt W4A4
+            # loss came from the EVAL forward silently using bf16 MXU passes;
+            # measured with tools/export_int8.py --mxu_bf16.
+            import dataclasses
+
+            eval_model = model_registry.build_model(
+                dataclasses.replace(cfg, mxu_bf16=False)
+            )
 
     steps_per_epoch = len(data.loader_train)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -157,7 +173,7 @@ def fit(
         )
     else:
         train_step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(model, cfg))
+    eval_step = jax.jit(make_eval_step(eval_model, cfg))
 
     ckpt = CheckpointManager(
         cfg.job_dir, max_to_keep=1 if cfg.best_only_checkpoint else 3

@@ -39,6 +39,8 @@ def main():
     p.add_argument("--data_dir", default="/root/data")
     p.add_argument("--job_dir", default="/tmp/alignq_export_da")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override DAConfig.lr (default 1e-3)")
     a = p.parse_args()
 
     from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan, fit_mdd
@@ -68,6 +70,7 @@ def main():
             train_batch_size=a.batch, eval_batch_size=a.batch, bitW=bits,
             abitW=bits, num_classes=10, num_epochs=a.epochs,
             job_dir=a.job_dir, use_correction=False, correction_exclude=(),
+            **({"lr": a.lr} if a.lr is not None else {}),
         )
         result = fit_dann(cfg, loaders, model, max_steps=a.max_steps)
         state = result["state"]
@@ -100,6 +103,7 @@ def main():
             train_batch_size=a.batch, eval_batch_size=a.batch, bitW=bits,
             abitW=bits, num_classes=31, num_epochs=a.epochs,
             job_dir=a.job_dir, correction_exclude=(),
+            **({"lr": a.lr} if a.lr is not None else {}),
         )
         if a.task == "dann":
             from alignq_tpu.models import DANN

@@ -85,6 +85,13 @@ def main():
              "(resnets: stem + per-block bounds; mobilenetv2: stem + signed "
              "m=2 block edges; densenet40: stem only)",
     )
+    p.add_argument(
+        "--mxu_bf16", action="store_true",
+        help="mixed-precision QAT: the TRAIN step runs bf16-MXU convs (2.8x "
+             "the f32-HIGHEST step); eval, the agreement measurement below, "
+             "and the INT export all use the f32-HIGHEST forward on the "
+             "same params (train/loop.py fit docstring)",
+    )
     a = p.parse_args()
 
     from alignq_tpu.data.registry import get_data
@@ -127,7 +134,8 @@ def main():
         data_dir=a.data_dir, num_epochs=a.epochs, train_batch_size=a.batch,
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
         correction_exclude=excl, deploy_exact=a.deploy_exact,
-        cdf_impl=a.cdf_impl,
+        cdf_impl=a.cdf_impl, mxu_bf16=a.mxu_bf16,
+        stream_int8=(a.stream == "int8"),
         **({"lr": a.lr} if a.lr is not None else {}),
         **({"warmup_epochs": a.warmup_epochs} if a.warmup_epochs is not None else {}),
     )
@@ -138,9 +146,17 @@ def main():
         if not a.deploy_exact or a.model not in ("resnet20", "resnet56"):
             p.error("--stream int8 requires --deploy_exact (PreActResNet)")
         extra["stream_int8"] = True
+    # this instance is the f32-HIGHEST forward used for eval, the agreement
+    # measurement, and the INT export (round 2's 6.6-pt W4A4 agreement loss
+    # was the EVAL forward silently using bf16 MXU passes)
     model = build(bitW=a.bits, abitW=a.bits, method="ours", variant=a.variant,
                   cdf_impl=a.cdf_impl, **extra)
-    result = fit(cfg, data, model=model)
+    if a.mxu_bf16:
+        # registry builds the bf16-MXU train model + the f32 eval twin
+        # (train/loop.py fit docstring — mixed-precision QAT)
+        result = fit(cfg, data)
+    else:
+        result = fit(cfg, data, model=model)
     state = result["state"]
     print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
 

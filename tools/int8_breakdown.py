@@ -28,7 +28,6 @@ import argparse
 import functools
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -36,41 +35,8 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-
-def chained(step, n):
-    """ONE jitted program: n data-dependent applications of step."""
-
-    @jax.jit
-    def prog(carry):
-        for _ in range(n):
-            carry = step(carry)
-        leaf = jax.tree_util.tree_leaves(carry)[0]
-        return jnp.sum(leaf[(0,) * (leaf.ndim - 1)].astype(jnp.float32))
-
-    return prog
-
-
-def timed_fetch(prog, carry, reps=3):
-    _ = np.asarray(prog(carry))  # compile + settle
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _ = np.asarray(prog(carry))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def measure(name, step, carry, n1=6, n2=30, flops=0.0, results=None):
-    t1 = timed_fetch(chained(step, n1), carry)
-    t2 = timed_fetch(chained(step, n2), carry)
-    dt = (t2 - t1) / (n2 - n1)
-    rec = {"name": name, "ms": round(dt * 1e3, 4)}
-    if flops:
-        rec["tops"] = round(flops / dt / 1e12, 1)
-    print(json.dumps(rec), flush=True)
-    if results is not None:
-        results.append(rec)
-    return dt
+# one shared implementation of the chained value-fetch protocol
+from tools.honest_timing import measure  # noqa: E402
 
 
 def main():

@@ -1,0 +1,286 @@
+"""Per-shape achievable-TOPS ceilings for every deployed INT8 graph
+(VERDICT.md round-2 item 2: one protocol, one table, reconcile 63-vs-144).
+
+RECONCILIATION of the round-2 contradiction (ARCHITECTURE.md:138 vs :199).
+Both old numbers timed the same stage-1 conv under the chained value-fetch
+protocol but with different COUPLING between chain links:
+- bench.py measure_conv_sol coupled links through a SCALAR read of the full
+  previous output (`x + (acc[0,0,0,0] & 1)`), a complete barrier per conv —
+  that measures LATENCY (compute + un-overlapped epilogue/DMA): ~77 us,
+  63 TOPS.
+- tools/int8_breakdown.py selfchain coupled links ELEMENTWISE
+  (`(acc & 63).astype(int8)`), which XLA fuses into the conv epilogue and
+  pipelines tile-by-tile — that measures THROUGHPUT: ~34 us, 144 TOPS.
+Neither was wrong; they measure different quantities. A model ceiling is a
+THROUGHPUT question (convs in a real graph overlap exactly this way —
+that is why the scalar-coupled sum overstated the e2e conv time 1.9x), so:
+
+PINNED PROTOCOL (the one this repo now uses for every per-shape ceiling):
+chained value-fetch (tools/honest_timing.py) with ELEMENTWISE-coupled
+links. Same-shape convs (cin==cout, stride 1, incl. depthwise) self-chain
+(`(acc & 63) -> int8`); shape-changing convs couple through a scalar and
+get the separately measured null-coupling cost subtracted (documented
+latency bias, small: shape-changers carry a minority of model FLOPs).
+
+Per model: ceiling_ms = sum(count * t_shape) over the distinct conv shapes
+of its DEPLOYED int8 graph — extracted automatically from the traced jaxpr
+(so DenseNet's preallocated full-width convs and MobileNet's depthwise
+shapes are exactly what ships. NOTE the act-quant epilogues, residual
+stream, and head are real mandatory work NOT in the ceiling: the ceiling is
+conv speed-of-light, so frac_of_achievable = ceiling/e2e < 1 even for a
+perfect implementation). With --e2e the tool also measures each family's
+full graph IN THE SAME PROCESS and prints frac_of_achievable = ceiling/e2e.
+
+    timeout 5400 python tools/shape_ceilings.py --families resnet20,resnet56,resnet50 --e2e
+    env ... JSON lines -> also written to /tmp/shape_ceilings.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tools.honest_timing import measure  # noqa: E402
+
+
+def conv_inventory(fn, *args) -> dict:
+    """{(lhs_shape, rhs_shape, strides, padding, fgc): count} over the traced
+    graph, recursing into nested jaxprs (pjit/cond/scan bodies)."""
+    shapes: dict = {}
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                lhs = tuple(eqn.invars[0].aval.shape)
+                rhs = tuple(eqn.invars[1].aval.shape)
+                key = (
+                    lhs, rhs,
+                    tuple(eqn.params["window_strides"]),
+                    tuple(map(tuple, eqn.params["padding"])),
+                    int(eqn.params["feature_group_count"]),
+                )
+                shapes[key] = shapes.get(key, 0) + 1
+            for v in eqn.params.values():
+                for sub in _sub_jaxprs(v):
+                    walk(sub)
+
+    def _sub_jaxprs(v):
+        out = []
+        vals = v if isinstance(v, (list, tuple)) else [v]
+        for item in vals:
+            j = getattr(item, "jaxpr", None)
+            if j is not None:
+                out.append(j)
+        return out
+
+    walk(jax.make_jaxpr(fn)(*args).jaxpr)
+    return shapes
+
+
+def shape_flops(key) -> float:
+    (b, hi, wi, cin), (kh, kw, cin_g, cout), (sh, sw), pad, fgc = key
+    ho = (hi + pad[0][0] + pad[0][1] - kh) // sh + 1
+    wo = (wi + pad[1][0] + pad[1][1] - kw) // sw + 1
+    return float(2 * kh * kw * cin_g * cout * ho * wo * b)
+
+
+_NULL_MS_CACHE: dict = {}
+
+
+def _null_coupling_s(x8) -> float:
+    """Cost (seconds) of the scalar coupling traversal alone, to subtract."""
+    key = x8.shape
+    if key not in _NULL_MS_CACHE:
+        def null_step(x):
+            s = (jnp.sum(x.astype(jnp.int32)) & 1).astype(jnp.int8)
+            return x ^ s
+
+        _NULL_MS_CACHE[key] = measure(
+            f"null:{key}", null_step, x8, n1=16, n2=128, quiet=True
+        )
+    return _NULL_MS_CACHE[key]
+
+
+def measure_shape(key, n1=8, n2=40) -> float:
+    """Achievable seconds/conv for one inventory key (pinned protocol).
+
+    Chain lengths adapt to the shape: a differenced signal under ~40 ms is
+    inside this backend's RPC jitter (a ~20 us 1x1 conv differenced over 32
+    links measured NEGATIVE), so small shapes re-measure with chains scaled
+    to put >= ~60 ms between the two program sizes."""
+    (b, hi, wi, cin), (kh, kw, cin_g, cout), strides, pad, fgc = key
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randint(-16, 16, (kh, kw, cin_g, cout)), jnp.int8)
+    x8 = jnp.asarray(rng.randint(-64, 64, (b, hi, wi, cin)), jnp.int8)
+
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        rhs=w, window_strides=strides, padding=list(pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=fgc,
+        preferred_element_type=jnp.int32,
+    )
+    ho = (hi + pad[0][0] + pad[0][1] - kh) // strides[0] + 1
+    same_shape = (cin == cout and (ho, (wi + pad[1][0] + pad[1][1] - kw) // strides[1] + 1) == (hi, wi))
+
+    if same_shape:
+        def step(x):
+            return (conv(lhs=x) & 63).astype(jnp.int8)
+
+        def run(a, b2):
+            return measure(None, step, x8, n1=a, n2=b2, quiet=True)
+    else:
+        def step(x):
+            acc = conv(lhs=x)
+            s = (jnp.sum(acc) & 1).astype(jnp.int8)
+            return x ^ s
+
+        def run(a, b2):
+            dt = measure(None, step, x8, n1=a, n2=b2, quiet=True)
+            # floor: for tiny convs the coupling traversal rivals the conv
+            return max(dt - _null_coupling_s(x8), 0.2 * dt)
+
+    dt = run(n1, n2)
+    if n2 - n1 >= 8:  # adaptive retry only in real (non-smoke) runs
+        signal = dt * (n2 - n1)
+        if signal < 0.04:  # < 40 ms between the two programs: jitter regime
+            scale = max(2, int(np.ceil(0.06 / max(signal, 1e-3))))
+            dt = run(n1 * scale, n2 * scale)
+    return max(dt, 1e-9)
+
+
+# ---- deployed-graph builders (mirrors tools/model_zoo_bench.py) ------------
+
+def _init_family(name, batch):
+    if name in ("resnet20", "resnet56"):
+        from alignq_tpu.kernels.infer import (
+            build_resnet20_int8,
+            convert_preact_resnet,
+            resnet20_int8_forward,
+        )
+
+        if name == "resnet20":
+            _, (qp, x) = build_resnet20_int8(batch)
+        else:
+            from alignq_tpu.models import resnet56_quant
+
+            model = resnet56_quant(bitW=8, abitW=8, method="ours")
+            x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3))
+            v = model.init(jax.random.PRNGKey(1), x, train=False)
+            qp = convert_preact_resnet(v["params"], v["batch_stats"])
+        fwd = functools.partial(
+            resnet20_int8_forward, act_impl="poly", stream="int8"
+        )
+        return fwd, qp, x
+    if name == "densenet40":
+        from alignq_tpu.kernels.infer_densenet import (
+            convert_densenet40,
+            densenet40_int8_forward,
+        )
+        from alignq_tpu.models import densenet_40_quant
+
+        model = densenet_40_quant(bitW=8, abitW=8, method="ours")
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3))
+        v = model.init(jax.random.PRNGKey(1), x, train=False)
+        qp = convert_densenet40(v["params"], v["batch_stats"])
+        return functools.partial(densenet40_int8_forward, act_impl="poly"), qp, x
+    if name == "mobilenetv2":
+        from alignq_tpu.kernels.infer_mobilenet import (
+            convert_mobilenetv2,
+            mobilenetv2_int8_forward,
+        )
+        from alignq_tpu.models import mobile_v2
+
+        model = mobile_v2(bitW=8, abitW=8, method="ours")
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3))
+        v = model.init(jax.random.PRNGKey(1), x, train=False)
+        qp = convert_mobilenetv2(v["params"], v["batch_stats"])
+        return functools.partial(mobilenetv2_int8_forward, act_impl="poly"), qp, x
+    if name == "resnet50":
+        from alignq_tpu.kernels.infer_resnet_imagenet import (
+            convert_resnet_imagenet,
+            resnet_imagenet_int8_forward,
+        )
+        from alignq_tpu.models import resnet50_quant
+
+        model = resnet50_quant(bitW=8, abitW=8, method="ours")
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3))
+        v = model.init(jax.random.PRNGKey(1), x, train=False)
+        qp = convert_resnet_imagenet(v["params"], v["batch_stats"])
+        return functools.partial(resnet_imagenet_int8_forward, act_impl="poly"), qp, x
+    raise ValueError(name)
+
+
+BATCHES = {"resnet20": 1024, "resnet56": 1024, "densenet40": 1024,
+           "mobilenetv2": 1024, "resnet50": 128}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families",
+                    default="resnet20,resnet56,densenet40,mobilenetv2,resnet50")
+    ap.add_argument("--e2e", action="store_true",
+                    help="also time each family's full graph (same process)")
+    ap.add_argument("--out", default="/tmp/shape_ceilings.json")
+    ap.add_argument("--smoke", action="store_true")
+    a = ap.parse_args()
+
+    shape_times: dict = {}  # key -> seconds (cached across families)
+    report = {"shapes": [], "models": {}}
+    n1, n2 = (1, 2) if a.smoke else (8, 40)
+
+    for fam in a.families.split(","):
+        fam = fam.strip()
+        batch = 8 if a.smoke else BATCHES[fam]
+        fwd, qp, x = _init_family(fam, batch)
+        inv = conv_inventory(fwd, qp, x)
+        ceiling_s = 0.0
+        rows = []
+        for key, count in sorted(inv.items(), key=lambda kv: -shape_flops(kv[0]) * kv[1]):
+            if key not in shape_times:
+                shape_times[key] = measure_shape(key, n1=n1, n2=n2)
+            t = shape_times[key]
+            fl = shape_flops(key)
+            rows.append({
+                "lhs": key[0], "rhs": key[1], "strides": key[2], "fgc": key[4],
+                "count": count, "us_per_conv": round(t * 1e6, 1),
+                "achievable_tops": round(fl / max(t, 1e-12) / 1e12, 1),
+                "total_ms": round(count * t * 1e3, 3),
+            })
+            ceiling_s += count * t
+        model_row = {
+            "family": fam, "batch": batch,
+            "ceiling_ms": round(ceiling_s * 1e3, 3),
+            "n_distinct_shapes": len(inv),
+        }
+        if a.e2e:
+            def step(x, fwd=fwd, qp=qp):
+                out = fwd(qp, x)
+                return x + (jnp.mean(out) * 1e-6).astype(x.dtype)
+
+            e2e = measure(None, step, x, n1=2 if a.smoke else 4,
+                          n2=4 if a.smoke else 16, quiet=True)
+            model_row["e2e_ms"] = round(e2e * 1e3, 3)
+            model_row["frac_of_achievable"] = round(ceiling_s / e2e, 4)
+            model_row["imgs_per_sec"] = round(batch / e2e, 1)
+        report["models"][fam] = model_row
+        report["shapes"].append({"family": fam, "rows": rows})
+        print(json.dumps(model_row), flush=True)
+        for r in rows:
+            print(json.dumps(r), flush=True)
+
+    with open(a.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {a.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
