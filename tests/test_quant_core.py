@@ -209,3 +209,31 @@ class TestChannelwise:
         assert f_t.shape == f_c.shape == w.shape
         assert not np.allclose(f_t, f_c)
         assert (f_c > 0).all()
+
+
+class TestDequantDivision:
+    def test_div_mode_matches_true_division_and_restores(self):
+        """dequant_division (parity-harness mode, quant/ste.py): inside the
+        context the grid value is IEEE round(x*n)/n (what torch computes,
+        tools/reference_parity.py finding); outside, the production
+        reciprocal multiply — and the two differ by at most 1 ulp on values
+        where they differ at all."""
+        import numpy as np
+
+        from alignq_tpu.quant import ste
+
+        n = 2**4 - 1
+        with jax.enable_x64(True):
+            x = jnp.asarray(np.linspace(-0.999, 0.999, 4097), jnp.float64)
+            base = np.asarray(ste.uniform_quantize(x, 4))
+            with ste.dequant_division():
+                div = np.asarray(ste.uniform_quantize(x, 4))
+            after = np.asarray(ste.uniform_quantize(x, 4))
+        # div mode == IEEE division of the rounded code
+        want = np.round(np.asarray(x, np.float64) * n) / n
+        np.testing.assert_array_equal(div, want)
+        # context restored: recip mode again, bitwise
+        np.testing.assert_array_equal(after, base)
+        # recip vs div: <= 1 ulp apart anywhere
+        diff = np.abs(base - div)
+        assert diff.max() <= np.spacing(np.abs(want)).max()

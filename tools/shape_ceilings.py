@@ -152,7 +152,11 @@ def measure_shape(key, n1=8, n2=40) -> float:
     if n2 - n1 >= 8:  # adaptive retry only in real (non-smoke) runs
         signal = dt * (n2 - n1)
         if signal < 0.04:  # < 40 ms between the two programs: jitter regime
-            scale = max(2, int(np.ceil(0.06 / max(signal, 1e-3))))
+            # cap the scale: chains are UNROLLED inside one jit program, and
+            # a many-hundred-op program takes minutes to compile remotely
+            # (the cap trades some jitter on the tiniest shapes — which carry
+            # negligible ceiling mass — for bounded compile time)
+            scale = min(6, max(2, int(np.ceil(0.06 / max(signal, 1e-3)))))
             dt = run(n1 * scale, n2 * scale)
     return max(dt, 1e-9)
 
