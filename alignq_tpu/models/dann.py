@@ -140,6 +140,10 @@ class MNISTModelQuant(nn.Module):
     act_range: float = 2.0
     admm: bool = False
     cdf_impl: str = "erf"
+    # the reference uses nn.Dropout2d (dann.py:153) — CHANNEL dropout, not
+    # element dropout; broadcast_dims=(1,2) below reproduces it. 0.0 turns
+    # the site off (tools/reference_parity_digit.py determinism shim).
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, alpha=1.0, train: bool = False, compute_corr: bool = False):
@@ -163,16 +167,16 @@ class MNISTModelQuant(nn.Module):
             if ordering == "ours":
                 x = QuantAct(name=f"{name}_actq", **act_kw)(x, compute_corr)
                 if dropout:
-                    x = nn.Dropout(0.5, deterministic=ura)(x)
+                    x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2), deterministic=ura)(x)
                 x = jax.nn.relu(x)
             elif ordering == "after":
                 if dropout:
-                    x = nn.Dropout(0.5, deterministic=ura)(x)
+                    x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2), deterministic=ura)(x)
                 x = jax.nn.relu(x)
                 x = QuantAct(name=f"{name}_actq", **act_kw)(x, compute_corr)
             else:
                 if dropout:
-                    x = nn.Dropout(0.5, deterministic=ura)(x)
+                    x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2), deterministic=ura)(x)
                 x = jax.nn.relu(x)
             return nn.max_pool(x, (2, 2), strides=(2, 2))
 

@@ -34,3 +34,37 @@ def test_reference_code_trajectory_parity():
         assert rec["dual_sites"] == 21
     assert json.loads(lines[-1])["pass"]
     assert r.returncode == 0
+
+
+def test_reference_dann_driver_parity():
+    """DA twin (tools/reference_parity_dann.py): one step of the reference
+    DANN driver's own train() vs the production DANN step; committed dual
+    quirks verified (SURVEY.md 2.4.8/2.4.9)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/reference_parity_dann.py",
+         "--mode", "committed"],
+        capture_output=True, text=True, timeout=2400, env=env,
+    )
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    rec = json.loads(lines[0])
+    assert rec["pass"] and rec["dual_quirks_verified"], rec
+    assert r.returncode == 0
+
+
+def test_reference_digit_variant_a_parity():
+    """Variant-a family (tools/reference_parity_digit.py): 5 steps of the
+    digit driver's own train() (plain SGD, per-iteration LR) vs the
+    production DANN step with variant='a' quantizers."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/reference_parity_digit.py",
+         "--steps", "5"],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    rec = json.loads(lines[0])
+    assert rec["pass"] and rec["params_compared"] == 23, rec
+    assert r.returncode == 0

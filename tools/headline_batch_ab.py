@@ -33,7 +33,13 @@ def measure(batch: int, n1: int = 8, n2: int = 40, reps: int = 3) -> float:
 
 
 def main():
-    for batch in (1024, 2048, 4096):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[1024, 2048, 4096])
+    bs = ap.parse_args().batches
+    for batch in bs:
         dt = measure(batch)
         tops = resnet20_analytic_flops(batch) / dt / 1e12
         print(
