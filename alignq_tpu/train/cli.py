@@ -92,7 +92,17 @@ def parse_args(argv=None) -> TrainConfig:
              "merge — reference --pretrained/--source_file, main.py:62-82)",
     )
     p.add_argument("--max_steps", type=int, default=None, help="early stop for smoke runs")
+    p.add_argument(
+        "--no_correction", action="store_true",
+        help="disable the PDF gradient correction (plain SGD for all "
+             "params). This is ALSO the committed reference's effective "
+             "behavior — its correction is assigned to a discarded p.grad "
+             "(SURVEY.md 2.4.7; verified head-to-head by "
+             "tools/reference_parity.py) — so the flag doubles as the "
+             "committed-semantics ablation",
+    )
     a = p.parse_args(argv)
+    a.use_correction = not a.no_correction
     field_names = {f.name for f in dataclasses.fields(TrainConfig)}
     overrides = {k: v for k, v in vars(a).items() if k in field_names}
     if a.mesh is not None:
