@@ -163,7 +163,11 @@ def build_power_value(b: int = 2, additive: bool = True) -> np.ndarray:
             base_a.append(2 ** (-i - 1))
     values = sorted(set(a + bb + c for a, bb, c in itertools.product(base_a, base_b, base_c)))
     values = np.asarray(values, dtype=np.float32)
-    return values / values.max()
+    # normalize exactly as the reference does (apot.py:58-59:
+    # values.mul(1.0 / torch.max(values)) — an f32 RECIPROCAL MULTIPLY, not
+    # a division): at b=5 the two differ by 1 f32 ulp on some levels, and
+    # tools/reference_parity_quantizers.py pins the table bit-for-bit
+    return values * np.float32(1.0 / values.max())
 
 
 def _project_to_levels(x: jax.Array, levels: jax.Array) -> jax.Array:

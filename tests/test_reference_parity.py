@@ -68,3 +68,20 @@ def test_reference_digit_variant_a_parity():
     rec = json.loads(lines[0])
     assert rec["pass"] and rec["params_compared"] == 23, rec
     assert r.returncode == 0
+
+
+def test_reference_baseline_quantizers_parity():
+    """C18-C22 + C24 (tools/reference_parity_quantizers.py): forwards AND
+    gradients (incl. learnable-param grads: LSQ grad-scale, APoT alpha
+    backward, LLSQ octave search) vs the reference's own quantizer modules
+    at f64; the APoT level table bit-for-bit in f32."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/reference_parity_quantizers.py"],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    final = json.loads(lines[-1])
+    assert final["pass"] and final["checks"] == 40, final
+    assert r.returncode == 0
