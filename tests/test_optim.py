@@ -167,3 +167,29 @@ class TestProfiling:
         assert info["arithmetic_intensity"] > 0
         t = profiling.measure_steady_state(jax.jit(f), x, iters=3, warmup=1)
         assert t["seconds_per_iter"] > 0
+
+
+class TestMultistepSchedule:
+    def test_decay_boundaries_and_warmup(self):
+        from alignq_tpu.optim.schedules import multistep_schedule
+
+        s = multistep_schedule(0.1, (2, 4), 0.1, steps_per_epoch=10,
+                               warmup_epochs=1.0)
+        # warmup: linear over the first 10 steps
+        np.testing.assert_allclose(float(s(0)), 0.1 * (1 / 10))
+        np.testing.assert_allclose(float(s(9)), 0.1)
+        np.testing.assert_allclose(float(s(19)), 0.1)   # before epoch 2
+        np.testing.assert_allclose(float(s(20)), 0.01)  # epoch-2 decay
+        np.testing.assert_allclose(float(s(40)), 0.001)  # epoch-4 decay
+
+    def test_huge_milestone_does_not_wrap_int32(self):
+        """Regression (round 3): a sentinel milestone like 1e9 epochs used
+        to overflow the int32 step comparison inside optax and silently
+        pre-decay the LR from step 0 (or raise OverflowError eagerly)."""
+        import jax.numpy as jnp
+
+        from alignq_tpu.optim.schedules import multistep_schedule
+
+        s = multistep_schedule(0.02, (10**9,), 0.1, steps_per_epoch=10**6)
+        np.testing.assert_allclose(float(s(jnp.int32(0))), 0.02)
+        np.testing.assert_allclose(float(s(jnp.int32(1000))), 0.02)
