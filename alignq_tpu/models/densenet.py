@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from alignq_tpu.nn.layers import BatchNorm, QConv, QDense, QuantAct
+from alignq_tpu.nn.layers import BatchNorm, QConv, QDense, QuantAct, StageRequant
 
 # He-normal fan_out init (densenet.py:113-116: normal(0, sqrt(2/n)) with
 # n = kh*kw*out_channels)
@@ -35,6 +35,7 @@ class DenseBasicBlock(nn.Module):
     drop_rate: float = 0.0
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
+    stage_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, compute_corr=False):
@@ -53,6 +54,10 @@ class DenseBasicBlock(nn.Module):
         )(out)
         if self.drop_rate > 0 and train:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
+        if self.stage_int8:
+            # the appended features live in the deployed graph's int8 stage
+            # buffer — train through its calibrated per-channel requant
+            out = StageRequant(name="requant")(out, train)
         return jnp.concatenate([x, out], axis=-1)
 
 
@@ -66,6 +71,7 @@ class Transition(nn.Module):
     admm: bool
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
+    stage_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, compute_corr=False):
@@ -82,7 +88,11 @@ class Transition(nn.Module):
             method=self.method, variant=self.variant, name="conv1",
             mxu_dtype=self.mxu_dtype,
         )(out)
-        return nn.avg_pool(out, (2, 2), strides=(2, 2))
+        out = nn.avg_pool(out, (2, 2), strides=(2, 2))
+        if self.stage_int8:
+            # the pooled transition output seeds the next stage's int8 buffer
+            out = StageRequant(name="requant")(out, train)
+        return out
 
 
 class DenseNet(nn.Module):
@@ -105,6 +115,15 @@ class DenseNet(nn.Module):
     # (kernels/infer_densenet.py: "no requantization step exists anywhere
     # except the image stem"). Use with variant='int8'.
     deploy_exact: bool = False
+    # int8 STAGE BUFFER (VERDICT r3 item 1): train through the calibrated
+    # per-channel requant the deployed graph applies when it stores each
+    # stage's growing feature map as int8 codes (4x less HBM traffic on the
+    # 12 full-width re-reads per stage — DenseNet's dominant deployment
+    # cost, ARCHITECTURE.md). Sites: stem output, every dense block's
+    # appended features, every transition's pooled output. Pair with
+    # deploy_exact=True and deploy via
+    # densenet40_int8_forward(stage_int8=True).
+    stage_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -120,6 +139,7 @@ class DenseNet(nn.Module):
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, act_range=self.act_range, admm=self.admm,
             cdf_impl=self.cdf_impl, mxu_dtype=self.mxu_dtype,
+            stage_int8=self.stage_int8,
         )
         inplanes = self.growth_rate * 2
         out = QConv(
@@ -127,6 +147,9 @@ class DenseNet(nn.Module):
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, name="conv1", mxu_dtype=self.mxu_dtype,
         )(x)
+        if self.stage_int8:
+            # the stem output seeds stage 1's int8 buffer
+            out = StageRequant(name="requant_stem")(out, train)
         for stage in range(3):
             for i in range(n):
                 out = DenseBasicBlock(

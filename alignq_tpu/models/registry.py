@@ -64,4 +64,14 @@ def build_model(cfg: TrainConfig):
             kwargs["stream_int8"] = True
     elif getattr(cfg, "stream_int8", False):
         raise ValueError("stream_int8 requires deploy_exact")
+    if getattr(cfg, "stage_int8", False):
+        if name != "densenet_40_quant":
+            raise ValueError(
+                "stage_int8 (int8 stage buffer) is a DenseNet deploy option"
+            )
+        if not cfg.deploy_exact:
+            # the int8-buffer graph also requantizes the image stem input,
+            # so the QAT twin needs the deploy_exact stem site
+            raise ValueError("stage_int8 requires deploy_exact")
+        kwargs["stage_int8"] = True
     return builders[name](**kwargs)

@@ -2,6 +2,7 @@ from alignq_tpu.nn.layers import (
     QConv,
     QDense,
     QuantAct,
+    StageRequant,
     BatchNorm,
     torch_conv_init,
     torch_linear_init,
@@ -12,6 +13,7 @@ __all__ = [
     "QConv",
     "QDense",
     "QuantAct",
+    "StageRequant",
     "BatchNorm",
     "torch_conv_init",
     "torch_linear_init",

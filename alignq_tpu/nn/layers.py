@@ -229,6 +229,57 @@ class QDense(nn.Module):
         return y
 
 
+class StageRequant(nn.Module):
+    """Calibrated per-channel int8 requantization site.
+
+    Deploy-exact QAT support for feature maps that a deployed graph stores
+    as int8 codes with a per-channel scale — DenseNet's stage buffer
+    (kernels/infer_densenet.py stage_int8 mode; VERDICT r3 item 1). Unlike
+    the ResNet residual stream (exact multiples of act_scale, requantized in
+    exact integer arithmetic — quant/ste.py requant_grid_ste), conv-output
+    values here live on a per-conv accumulator grid too fine to recover in
+    f32, so the scale is CALIBRATED: a per-channel running max |value|
+    tracked like a BN statistic ('batch_stats' collection, monotone max —
+    deterministic, an upper bound, so the deployed requant clips only on
+    values never seen in training).
+
+    QAT fake-quant: value -> clip(round(value/s), -g, g) * s with
+    s = amax/g, straight-through gradient inside the clip range
+    (quant/ste.py requant_ste, which accepts a per-channel scale vector).
+    The deployed graph applies the SAME rounding to the SAME value
+    (conv epilogue: codes = round(acc * w_scale / s)), so train == deploy up
+    to f32 conv-reduction noise at rounding boundaries (the generic-real
+    tie situation of the erf act sites, not the structural .5 ties of the
+    grid-aligned residual stream — measured by tools/export_int8.py
+    --stage_int8).
+
+    Reference contract: the stage buffer holds the values of
+    dense-cifar-10/model/densenet.py:31-41's concatenated features; this
+    site changes their storage precision, trained through, and is measured
+    against the f32-buffer formulation (+0.00 pt gate).
+    """
+
+    g: int = 127
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from alignq_tpu.quant.ste import requant_ste
+
+        amax = self.variable(
+            "batch_stats", "amax",
+            lambda: jnp.zeros((x.shape[-1],), jnp.float32),
+        )
+        if train and not self.is_initializing():
+            batch_max = jnp.max(
+                jnp.abs(jax.lax.stop_gradient(x)), axis=tuple(range(x.ndim - 1))
+            )
+            amax.value = jnp.maximum(amax.value, batch_max)
+        # the CURRENT step's max participates (no clipping on this batch);
+        # eval/convert read the stored stat — same scale as deployment
+        scale = jnp.maximum(amax.value, 1e-6) * (1.0 / self.g)
+        return requant_ste(x, jax.lax.stop_gradient(scale), self.g)
+
+
 class QuantAct(nn.Module):
     """Standalone activation fake-quantizer, optionally with the ADMM
     correlation-discrepancy side-output.

@@ -171,8 +171,12 @@ def _requant_grid_bwd(act_scale, m, g, signed, x, grad):
 requant_grid_ste.defvjp(_requant_grid_fwd, _requant_grid_bwd)
 
 
-def requant_ste(x: jax.Array, scale: float, g: int) -> jax.Array:
+def requant_ste(x: jax.Array, scale, g: int) -> jax.Array:
     """Deploy-exact linear requantization fake-quant (STE).
+
+    scale may be a Python float (static stem scale) or a traced per-channel
+    vector broadcasting against x's last axis (calibrated stage-buffer
+    scales, nn/layers.py StageRequant).
 
     Mirrors the INT inference graph's `_linear_q` stem-input site
     (kernels/infer.py): value = clip(round(x/scale), -g, g) * scale. Used by

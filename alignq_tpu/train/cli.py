@@ -59,6 +59,18 @@ def parse_args(argv=None) -> TrainConfig:
     )
     p.add_argument("--mxu_bf16", action="store_true",
                    help="cast conv operands to bf16 for full MXU rate")
+    # multi-host execution (dist/multihost.py; SURVEY.md section 7 item 7).
+    # On a TPU pod slice --multihost alone auto-detects the topology; for
+    # manual/localhost launches pass the rendezvous triple (or set
+    # ALIGNQ_COORDINATOR / ALIGNQ_NUM_PROCESSES / ALIGNQ_PROCESS_ID).
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="join a jax.distributed multi-process rendezvous before "
+             "training; --mesh then spans the GLOBAL device set",
+    )
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument(
         "--cdf_impl", choices=("erf", "poly"), default=defaults.cdf_impl,
         help="act-site CDF: 'erf' reference-exact, 'poly' TPU fast grid "
@@ -102,6 +114,11 @@ def parse_args(argv=None) -> TrainConfig:
              "committed-semantics ablation",
     )
     a = p.parse_args(argv)
+    if a.multihost or a.coordinator:
+        # must run before the first JAX operation of the process
+        from alignq_tpu.dist import multihost
+
+        multihost.initialize(a.coordinator, a.num_processes, a.process_id)
     a.use_correction = not a.no_correction
     field_names = {f.name for f in dataclasses.fields(TrainConfig)}
     overrides = {k: v for k, v in vars(a).items() if k in field_names}

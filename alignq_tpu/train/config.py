@@ -50,6 +50,11 @@ class TrainConfig:
     # (resnet_cifar.py PreActResNet.stream_int8; deploy with
     # resnet20_int8_forward(stream='int8'))
     stream_int8: bool = False
+    # int8 STAGE BUFFER (DenseNet; requires deploy_exact): train the
+    # calibrated per-channel requant sites the int8-stage-buffer deployment
+    # graph applies (models/densenet.py stage_int8;
+    # kernels/infer_densenet.py densenet40_int8_forward(stage_int8=True))
+    stage_int8: bool = False
     admm_mu: float = 0.2
     admm_rho: float = 0.3
     # act-site CDF evaluation: 'erf' (reference-exact) or 'poly' (the

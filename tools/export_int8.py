@@ -86,6 +86,14 @@ def main():
              "m=2 block edges; densenet40: stem only)",
     )
     p.add_argument(
+        "--stage_int8", action="store_true",
+        help="densenet40 only: int8 STAGE BUFFER deployment — QAT trains the "
+             "calibrated per-channel StageRequant sites (implies "
+             "--deploy_exact) and the INT graph stores each stage's feature "
+             "map as int8 codes (4x less buffer HBM traffic; VERDICT r3 "
+             "item 1)",
+    )
+    p.add_argument(
         "--mxu_bf16", action="store_true",
         help="mixed-precision QAT: the TRAIN step runs bf16-MXU convs (2.8x "
              "the f32-HIGHEST step); eval, the agreement measurement below, "
@@ -128,6 +136,10 @@ def main():
                        densenet40_int8_forward, "densenet_40_quant", ()),
     }
     build, convert, int_forward, target, excl = builders[a.model]
+    if a.stage_int8:
+        if a.model != "densenet40":
+            p.error("--stage_int8 is a densenet40 deploy option")
+        a.deploy_exact = True  # the int8-buffer graph requantizes the stem input
     cfg = TrainConfig(
         target_model=target, method="ours", bitW=a.bits,
         abitW=a.bits, variant=a.variant, dataset=a.dataset,
@@ -135,7 +147,7 @@ def main():
         eval_batch_size=a.batch, job_dir=a.job_dir, print_freq=1000,
         correction_exclude=excl, deploy_exact=a.deploy_exact,
         cdf_impl=a.cdf_impl, mxu_bf16=a.mxu_bf16,
-        stream_int8=(a.stream == "int8"),
+        stream_int8=(a.stream == "int8"), stage_int8=a.stage_int8,
         **({"lr": a.lr} if a.lr is not None else {}),
         **({"warmup_epochs": a.warmup_epochs} if a.warmup_epochs is not None else {}),
     )
@@ -146,6 +158,8 @@ def main():
         if not a.deploy_exact or a.model not in ("resnet20", "resnet56"):
             p.error("--stream int8 requires --deploy_exact (PreActResNet)")
         extra["stream_int8"] = True
+    if a.stage_int8:
+        extra["stage_int8"] = True
     # this instance is the f32-HIGHEST forward used for eval, the agreement
     # measurement, and the INT export (round 2's 6.6-pt W4A4 agreement loss
     # was the EVAL forward silently using bf16 MXU passes)
@@ -160,8 +174,10 @@ def main():
     state = result["state"]
     print(f"QAT fake-quant eval top1: {result['best_top1']:.2f}")
 
+    convert_kw = {"stage_int8": True} if a.stage_int8 else {}
     qparams = convert(
-        state.params, state.batch_stats, weight_bits=a.bits, act_bits=a.bits
+        state.params, state.batch_stats, weight_bits=a.bits, act_bits=a.bits,
+        **convert_kw,
     )
     import functools
 
@@ -174,6 +190,8 @@ def main():
     int_kw = {"act_bits": a.bits, "act_impl": deploy_impl}
     if a.stream == "int8":
         int_kw["stream"] = "int8"
+    if a.stage_int8:
+        int_kw["stage_int8"] = True
     if a.model in ("resnet20", "resnet56"):
         if a.stage_kernel:
             assert deploy_impl == "poly", "--stage_kernel requires the poly grid"
