@@ -1,3 +1,4 @@
+from alignq_tpu.dist import multihost
 from alignq_tpu.dist.mesh import make_mesh
 from alignq_tpu.dist.sharding import (
     batch_sharding,
@@ -8,6 +9,7 @@ from alignq_tpu.dist.sharding import (
 
 __all__ = [
     "make_mesh",
+    "multihost",
     "batch_sharding",
     "param_shardings",
     "replicated",

@@ -115,6 +115,59 @@ def make_da_optimizer(cfg: DAConfig, params, total_steps: int, head_prefixes: Se
     return optax.chain(*parts)
 
 
+def _build_da_placement(cfg: TrainConfig):
+    """Data-parallel placement for the DA loops (VERDICT r3 item 4).
+
+    Returns None for a 1-device mesh, else a `place((xs, ys, xt)) -> tuple`
+    that shards every array's batch dim over the mesh's data axis (and
+    routes through the per-process multihost path when jax.distributed is
+    active). The jitted DA steps are pure functions of their inputs, so
+    GSPMD alone distributes them: gradients psum where the replicated
+    params meet sharded activations, BN batch stats reduce over the GLOBAL
+    batch, and the batch-coupled losses keep exact reference semantics —
+    the ADMM corr matrices and the LMMD kernel matrices are global-B x
+    global-B contractions, so XLA inserts the feature all-gathers
+    (dist/corr.py 'gather' mode). That is why corr_mode='local' is
+    rejected here: per-shard block-diagonal duals are a classification-
+    driver approximation (train/loop.py), and LMMD has the same cross-
+    batch coupling with no local variant defined.
+
+    The reference DA drivers are single-GPU
+    (dann_office/main.py:296-460); this distribution layer is
+    framework-native with no reference twin.
+    """
+    import math
+
+    if math.prod(cfg.mesh_shape) <= 1:
+        return None
+    if cfg.corr_mode != "gather":
+        raise ValueError(
+            "distributed DA training supports corr_mode='gather' only: the "
+            "ADMM corr and LMMD losses are global-batch-coupled, and the "
+            "per-shard 'local' approximation is classification-driver-only"
+        )
+    from alignq_tpu.dist import make_mesh, multihost, shard_batch
+
+    mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+    if dict(mesh.shape).get("model", 1) > 1:
+        raise ValueError("DA training distributes over the data axis only")
+    axis = cfg.mesh_axes[0]
+    n_data = mesh.shape[axis]
+
+    def place(batch):
+        for x in batch:
+            if x.shape[0] % n_data:
+                raise ValueError(
+                    f"DA batch dim {x.shape[0]} not divisible by data-axis "
+                    f"size {n_data}"
+                )
+        if multihost.active():
+            return multihost.place_batch_multihost(batch, mesh, axis)
+        return shard_batch(batch, mesh, axis)
+
+    return place
+
+
 def _trans_loss_from(ds, duals, admm_cfg):
     total = 0.0
     for name, d in ds.items():
@@ -297,6 +350,7 @@ def fit_dsan(
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
     train_step = jax.jit(make_dsan_train_step(model, cfg), donate_argnums=(0,))
+    place = _build_da_placement(cfg)
 
     @jax.jit
     def eval_step(state, x, y):
@@ -315,9 +369,10 @@ def fit_dsan(
         lambd = 2.0 / (1.0 + math.exp(-10.0 * epoch / max(cfg.num_epochs, 1))) - 1.0
         lm = AverageMeter()
         for (xs, ys), (xt, _) in zip(loaders["src_train"], loaders["tgt_train"]):
-            state, m = train_step(
-                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt), lambd
-            )
+            batch = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt))
+            if place is not None:
+                batch = place(batch)
+            state, m = train_step(state, *batch, lambd)
             lm.update(float(m["loss"]))
             step += 1
             if max_steps is not None and step >= max_steps:
@@ -374,6 +429,7 @@ def fit_dann(
 
     train_step = jax.jit(make_dann_train_step(model, cfg), donate_argnums=(0,))
     eval_step = jax.jit(make_dann_eval_step(model, cfg))
+    place = _build_da_placement(cfg)
 
     best = {"tgt_top1": 0.0}
     step = 0
@@ -383,9 +439,10 @@ def fit_dann(
         for (xs, ys), (xt, _) in zip(loaders["src_train"], loaders["tgt_train"]):
             p = step / max(total_steps, 1)
             alpha = float(grl_alpha(p))
-            state, m = train_step(
-                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt), alpha
-            )
+            batch = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt))
+            if place is not None:
+                batch = place(batch)
+            state, m = train_step(state, *batch, alpha)
             for k in meters:
                 meters[k].update(float(m[k]))
             step += 1
@@ -507,6 +564,7 @@ def fit_mdd(
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
     train_step = jax.jit(make_mdd_train_step(model, cfg), donate_argnums=(0,))
+    place = _build_da_placement(cfg)
 
     @jax.jit
     def eval_step(state, x, y):
@@ -523,9 +581,10 @@ def fit_mdd(
         meters = {k: AverageMeter() for k in ("loss", "accuracy")}
         for (xs, ys), (xt, _) in zip(loaders["src_train"], loaders["tgt_train"]):
             coeff = float(mdd_grl_coeff(step, max_iter=max(total_steps, 1)))
-            state, m = train_step(
-                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt), coeff
-            )
+            batch = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt))
+            if place is not None:
+                batch = place(batch)
+            state, m = train_step(state, *batch, coeff)
             for k in meters:
                 meters[k].update(float(m[k]))
             step += 1

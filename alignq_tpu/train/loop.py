@@ -57,6 +57,7 @@ def _build_distributed(cfg: TrainConfig, model, state):
       shards duals over the data axis and is DP-specific).
     """
     from alignq_tpu.dist import make_mesh, shard_batch
+    from alignq_tpu.dist import multihost
     from alignq_tpu.dist.corr import create_local_duals, make_local_corr_train_step
 
     mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
@@ -67,14 +68,34 @@ def _build_distributed(cfg: TrainConfig, model, state):
             f"data-axis size {n_data}"
         )
 
-    def place_train(batch):
-        return shard_batch(batch, mesh, cfg.mesh_axes[0])
+    if multihost.active():
+        # per-process input pipeline: every host's seeded loader yields the
+        # same global batch; each keeps only its contiguous row shard and
+        # the global array is assembled without cross-host data motion
+        # (dist/multihost.py)
+        def place_train(batch):
+            return multihost.place_batch_multihost(batch, mesh, cfg.mesh_axes[0])
 
-    def place_eval(batch):
-        # shard eval batches when they divide evenly; replicate otherwise
-        if batch[0].shape[0] % n_data == 0:
-            return place_train(batch)
-        return batch
+        def place_eval(batch):
+            if batch[0].shape[0] % n_data == 0:
+                return place_train(batch)
+            # uneven tail batch: replicate (every host provides the full
+            # batch, so the global array is consistent by construction)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(rep, x), batch
+            )
+    else:
+        def place_train(batch):
+            return shard_batch(batch, mesh, cfg.mesh_axes[0])
+
+        def place_eval(batch):
+            # shard eval batches when they divide evenly; replicate otherwise
+            if batch[0].shape[0] % n_data == 0:
+                return place_train(batch)
+            return batch
 
     n_model = dict(mesh.shape).get("model", 1)
     if n_model > 1:
@@ -119,9 +140,26 @@ def fit(
     pretrained_dir: Optional[str] = None,
 ) -> dict:
     """Train per config; returns {'best_top1', 'best_top5', 'state'}."""
-    logger = get_logger(f"{cfg.job_dir}/logger.log")
-    writer_train = MetricWriter(cfg.job_dir, "train")
-    writer_test = MetricWriter(cfg.job_dir, "test")
+    from alignq_tpu.dist import multihost
+
+    # primary-host observability (dist/multihost.py): secondary processes
+    # log warnings+ to their own file and skip metric writing; orbax
+    # checkpointing below stays COLLECTIVE (all processes call save — orbax
+    # writes each process's addressable shards, process 0 the metadata)
+    primary = multihost.is_primary()
+    log_name = "logger.log" if primary else f"logger.p{jax.process_index()}.log"
+    logger = get_logger(f"{cfg.job_dir}/{log_name}")
+    if not primary:
+        import logging
+
+        logger.setLevel(logging.WARNING)
+
+    class _NullWriter:
+        def write(self, *a, **k):
+            pass
+
+    writer_train = MetricWriter(cfg.job_dir, "train") if primary else _NullWriter()
+    writer_test = MetricWriter(cfg.job_dir, "test") if primary else _NullWriter()
 
     eval_model = model
     if model is None:

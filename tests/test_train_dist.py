@@ -153,3 +153,101 @@ class TestCLIMeshFlags:
         cfg, _, _, _ = parse_args(["--mesh", "4", "2"])
         assert tuple(cfg.mesh_shape) == (4, 2)
         assert cfg.mesh_axes == ("data", "model")
+
+
+class TestDistributedDA:
+    """DA loops take a mesh (VERDICT r3 item 4): gather-mode DP through
+    fit_dann, exact global-batch corr/LMMD semantics by GSPMD."""
+
+    def _loaders(self):
+        from alignq_tpu.data.digits import get_digit_domain
+
+        return {
+            "src_train": get_digit_domain("mnist", "/nonexistent", 8,
+                                          train=True, img_size=32),
+            "tgt_train": get_digit_domain("mnistm", "/nonexistent", 8,
+                                          train=True, img_size=32),
+            "tgt_test": get_digit_domain("mnistm", "/nonexistent", 8,
+                                         train=False, img_size=32),
+            "src_test": get_digit_domain("mnist", "/nonexistent", 8,
+                                         train=False, img_size=32),
+        }
+
+    def _cfg(self, job_dir, **kw):
+        from alignq_tpu.train.da import DAConfig
+
+        base = dict(
+            train_batch_size=8, eval_batch_size=8, bitW=32, abitW=32,
+            num_classes=10, num_epochs=1, job_dir=str(job_dir),
+            correction_exclude=(), lr=0.01,
+        )
+        base.update(kw)
+        return DAConfig(**base)
+
+    def test_dann_dp_matches_single_device(self, tmp_path):
+        """8-virtual-device gather-mode fit_dann reproduces the
+        single-device update at 32-bit (same caveat as
+        TestGatherMode.test_matches_single_device: quantized grids amplify
+        reduction-order noise into chaotic flips, so the equivalence
+        statement is made where it is exact)."""
+        from alignq_tpu.models import mnist_model_quant
+        from alignq_tpu.train.da import fit_dann
+
+        model = mnist_model_quant(bitW=32, abitW=32, method="ours")
+        r1 = fit_dann(self._cfg(tmp_path / "s"), self._loaders(), model,
+                      max_steps=2)
+        rN = fit_dann(
+            self._cfg(tmp_path / "m", mesh_shape=(8,), mesh_axes=("data",),
+                      corr_mode="gather"),
+            self._loaders(), model, max_steps=2,
+        )
+        for a, b in zip(
+            jax.tree.leaves(r1["state"].params),
+            jax.tree.leaves(rN["state"].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        assert r1["best_tgt_top1"] == pytest.approx(
+            rN["best_tgt_top1"], abs=0.5
+        )
+
+    def test_dann_dp_admm_smoke(self, tmp_path):
+        """Quantized DANN + ADMM under DP: the global-B x B corr matrices
+        gather across shards; duals stay (B, B) replicated; loss finite."""
+        from alignq_tpu.models import mnist_model_quant
+        from alignq_tpu.train.da import fit_dann
+
+        model = mnist_model_quant(bitW=4, abitW=4, method="ours", admm=True)
+        r = fit_dann(
+            self._cfg(tmp_path, bitW=4, abitW=4, admm=True, mesh_shape=(8,),
+                      mesh_axes=("data",), corr_mode="gather"),
+            self._loaders(), model, max_steps=2,
+        )
+        assert np.isfinite(r["best_tgt_top1"])
+        name = sorted(r["state"].admm_duals)[0]
+        assert r["state"].admm_duals[name].alter_d.shape == (8, 8)
+
+    def test_local_mode_rejected(self, tmp_path):
+        from alignq_tpu.models import mnist_model_quant
+        from alignq_tpu.train.da import fit_dann
+
+        model = mnist_model_quant(bitW=4, abitW=4, method="ours")
+        with pytest.raises(ValueError, match="gather"):
+            fit_dann(
+                self._cfg(tmp_path, mesh_shape=(8,), mesh_axes=("data",),
+                          corr_mode="local"),
+                self._loaders(), model, max_steps=1,
+            )
+
+    def test_model_axis_rejected(self, tmp_path):
+        from alignq_tpu.models import mnist_model_quant
+        from alignq_tpu.train.da import fit_dann
+
+        model = mnist_model_quant(bitW=4, abitW=4, method="ours")
+        with pytest.raises(ValueError, match="data axis"):
+            fit_dann(
+                self._cfg(tmp_path, mesh_shape=(4, 2),
+                          mesh_axes=("data", "model"), corr_mode="gather"),
+                self._loaders(), model, max_steps=1,
+            )

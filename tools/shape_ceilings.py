@@ -52,20 +52,37 @@ from tools.honest_timing import measure  # noqa: E402
 
 
 def conv_inventory(fn, *args) -> dict:
-    """{(lhs_shape, rhs_shape, strides, padding, fgc): count} over the traced
-    graph, recursing into nested jaxprs (pjit/cond/scan bodies)."""
+    """{key: count} over the traced graph, recursing into nested jaxprs
+    (pjit/cond/scan bodies).
+
+    The key captures EVERYTHING the XLA conv emitter sees: lhs/rhs/out
+    shapes, strides, padding, lhs/rhs dilation, feature groups, dimension
+    numbers, operand/output dtypes, and precision — so QAT graphs (f32
+    HIGHEST or bf16 MXU forward convs PLUS the two transposed VJP convs per
+    site, which appear as conv_general_dilated with dilations and permuted
+    dimension numbers) inventory exactly as they compile, alongside the
+    int8 inference graphs (round-3 key format extended for VERDICT r3
+    item 7)."""
     shapes: dict = {}
 
     def walk(jaxpr):
         for eqn in jaxpr.eqns:
             if eqn.primitive.name == "conv_general_dilated":
-                lhs = tuple(eqn.invars[0].aval.shape)
-                rhs = tuple(eqn.invars[1].aval.shape)
+                lhs_av, rhs_av = eqn.invars[0].aval, eqn.invars[1].aval
+                out_av = eqn.outvars[0].aval
+                p = eqn.params
+                dn = p["dimension_numbers"]
                 key = (
-                    lhs, rhs,
-                    tuple(eqn.params["window_strides"]),
-                    tuple(map(tuple, eqn.params["padding"])),
-                    int(eqn.params["feature_group_count"]),
+                    tuple(lhs_av.shape), tuple(rhs_av.shape),
+                    tuple(out_av.shape),
+                    tuple(p["window_strides"]),
+                    tuple(map(tuple, p["padding"])),
+                    tuple(p.get("lhs_dilation") or ()),
+                    tuple(p.get("rhs_dilation") or ()),
+                    int(p["feature_group_count"]),
+                    (tuple(dn.lhs_spec), tuple(dn.rhs_spec), tuple(dn.out_spec)),
+                    str(lhs_av.dtype), str(out_av.dtype),
+                    str(p.get("precision")),
                 )
                 shapes[key] = shapes.get(key, 0) + 1
             for v in eqn.params.values():
@@ -79,74 +96,125 @@ def conv_inventory(fn, *args) -> dict:
             j = getattr(item, "jaxpr", None)
             if j is not None:
                 out.append(j)
-        return out
+    # closed jaxprs wrap .jaxpr again
+        return [getattr(j, "jaxpr", j) for j in out]
 
     walk(jax.make_jaxpr(fn)(*args).jaxpr)
     return shapes
 
 
 def shape_flops(key) -> float:
-    (b, hi, wi, cin), (kh, kw, cin_g, cout), (sh, sw), pad, fgc = key
-    ho = (hi + pad[0][0] + pad[0][1] - kh) // sh + 1
-    wo = (wi + pad[1][0] + pad[1][1] - kw) // sw + 1
-    return float(2 * kh * kw * cin_g * cout * ho * wo * b)
+    """2 * prod(out_shape) * (kh*kw*cin_g) — dimension-number-agnostic:
+    prod(rhs_shape)/cout = kh*kw*cin_g, with cout read off the rhs spec."""
+    rhs, out = key[1], key[2]
+    rhs_spec = key[8][1]
+    cout = rhs[rhs_spec[0]]
+    return float(2.0 * np.prod(out) * np.prod(rhs) / max(cout, 1))
 
 
 _NULL_MS_CACHE: dict = {}
 
 
-def _null_coupling_s(x8) -> float:
+def _null_coupling_s(x0) -> float:
     """Cost (seconds) of the scalar coupling traversal alone, to subtract."""
-    key = x8.shape
+    key = (x0.shape, str(x0.dtype))
     if key not in _NULL_MS_CACHE:
-        def null_step(x):
-            s = (jnp.sum(x.astype(jnp.int32)) & 1).astype(jnp.int8)
-            return x ^ s
+        if jnp.issubdtype(x0.dtype, jnp.integer):
+            def null_step(x):
+                s = (jnp.sum(x.astype(jnp.int32)) & 1).astype(x.dtype)
+                return x ^ s
+        else:
+            def null_step(x):
+                s = (jnp.sum(x.astype(jnp.float32)) * 1e-20).astype(x.dtype)
+                return x + s
 
         _NULL_MS_CACHE[key] = measure(
-            f"null:{key}", null_step, x8, n1=16, n2=128, quiet=True
+            f"null:{key}", null_step, x0, n1=16, n2=128, quiet=True
         )
     return _NULL_MS_CACHE[key]
 
 
+def _parse_precision(s: str):
+    import jax.lax as lax
+
+    if s == "None":
+        return None
+    table = {
+        "Precision.HIGHEST": lax.Precision.HIGHEST,
+        "Precision.HIGH": lax.Precision.HIGH,
+        "Precision.DEFAULT": lax.Precision.DEFAULT,
+        "HIGHEST": lax.Precision.HIGHEST,
+        "HIGH": lax.Precision.HIGH,
+        "DEFAULT": lax.Precision.DEFAULT,
+    }
+    for name, val in table.items():
+        if name in s:
+            return val
+    return None
+
+
 def measure_shape(key, n1=8, n2=40) -> float:
-    """Achievable seconds/conv for one inventory key (pinned protocol).
+    """Achievable seconds/conv for one inventory key (pinned protocol:
+    elementwise-coupled chain for shape-preserving convs, scalar coupling
+    minus the null-coupling cost otherwise — module docstring).
 
     Chain lengths adapt to the shape: a differenced signal under ~40 ms is
     inside this backend's RPC jitter (a ~20 us 1x1 conv differenced over 32
     links measured NEGATIVE), so small shapes re-measure with chains scaled
     to put >= ~60 ms between the two program sizes."""
-    (b, hi, wi, cin), (kh, kw, cin_g, cout), strides, pad, fgc = key
-    rng = np.random.RandomState(0)
-    w = jnp.asarray(rng.randint(-16, 16, (kh, kw, cin_g, cout)), jnp.int8)
-    x8 = jnp.asarray(rng.randint(-64, 64, (b, hi, wi, cin)), jnp.int8)
+    (lhs_s, rhs_s, out_s, strides, pad, ldil, rdil, fgc, dn_spec,
+     lhs_dt, out_dt, prec_s) = key
+    import jax.lax as lax
 
+    dtype = jnp.dtype(lhs_dt)
+    out_dtype = jnp.dtype(out_dt)
+    rng = np.random.RandomState(0)
+    if jnp.issubdtype(dtype, jnp.integer):
+        w = jnp.asarray(rng.randint(-16, 16, rhs_s), dtype)
+        x0 = jnp.asarray(rng.randint(-64, 64, lhs_s), dtype)
+    else:
+        w = jnp.asarray(rng.randn(*rhs_s) * 0.1, dtype)
+        x0 = jnp.asarray(rng.randn(*lhs_s) * 0.1, dtype)
+
+    dn = jax.lax.ConvDimensionNumbers(*dn_spec)
     conv = functools.partial(
         jax.lax.conv_general_dilated,
         rhs=w, window_strides=strides, padding=list(pad),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=fgc,
-        preferred_element_type=jnp.int32,
+        lhs_dilation=ldil or None, rhs_dilation=rdil or None,
+        dimension_numbers=dn, feature_group_count=fgc,
+        preferred_element_type=out_dtype,
+        precision=_parse_precision(prec_s),
     )
-    ho = (hi + pad[0][0] + pad[0][1] - kh) // strides[0] + 1
-    same_shape = (cin == cout and (ho, (wi + pad[1][0] + pad[1][1] - kw) // strides[1] + 1) == (hi, wi))
+    same_shape = tuple(out_s) == tuple(lhs_s)
 
     if same_shape:
-        def step(x):
-            return (conv(lhs=x) & 63).astype(jnp.int8)
+        if jnp.issubdtype(dtype, jnp.integer):
+            def step(x):
+                return (conv(lhs=x) & 63).astype(dtype)
+        else:
+            def step(x):
+                # bounded elementwise re-normalization: fuses into the conv
+                # epilogue exactly like an act-quant pass would
+                return jnp.clip(conv(lhs=x) * 0.01, -1.0, 1.0).astype(dtype)
 
         def run(a, b2):
-            return measure(None, step, x8, n1=a, n2=b2, quiet=True)
+            return measure(None, step, x0, n1=a, n2=b2, quiet=True)
     else:
-        def step(x):
-            acc = conv(lhs=x)
-            s = (jnp.sum(acc) & 1).astype(jnp.int8)
-            return x ^ s
+        if jnp.issubdtype(dtype, jnp.integer):
+            def step(x):
+                acc = conv(lhs=x)
+                s = (jnp.sum(acc) & 1).astype(dtype)
+                return x ^ s
+        else:
+            def step(x):
+                acc = conv(lhs=x)
+                s = (jnp.sum(acc.astype(jnp.float32)) * 1e-20).astype(dtype)
+                return x + s
 
         def run(a, b2):
-            dt = measure(None, step, x8, n1=a, n2=b2, quiet=True)
+            dt = measure(None, step, x0, n1=a, n2=b2, quiet=True)
             # floor: for tiny convs the coupling traversal rivals the conv
-            return max(dt - _null_coupling_s(x8), 0.2 * dt)
+            return max(dt - _null_coupling_s(x0), 0.2 * dt)
 
     dt = run(n1, n2)
     if n2 - n1 >= 8:  # adaptive retry only in real (non-smoke) runs
@@ -227,12 +295,89 @@ BATCHES = {"resnet20": 1024, "resnet56": 1024, "densenet40": 1024,
            "mobilenetv2": 1024, "resnet50": 128}
 
 
+# ---- QAT train-step ceilings (VERDICT r3 item 7) ----------------------------
+
+def _init_qat(family: str, batch: int, mxu_bf16: bool):
+    """(carry_step, state, x, y) for the production QAT train step.
+
+    The traced step contains the forward convs PLUS autodiff's transposed
+    convs (grad-of-conv = two more convs per site), so the inventory prices
+    the full fwd+bwd conv set under the exact dtypes/precision that ship
+    (f32 Precision.HIGHEST or bf16-MXU — nn/layers.py QConv)."""
+    import jax.random as jr
+
+    from alignq_tpu.models import registry
+    from alignq_tpu.train import TrainConfig
+    from alignq_tpu.train.state import create_train_state
+    from alignq_tpu.train.steps import make_train_step
+
+    target = {"resnet20": "resnet20_quant", "resnet56": "resnet56_quant"}[family]
+    cfg = TrainConfig(
+        target_model=target, method="ours", bitW=8, abitW=8,
+        train_batch_size=batch, eval_batch_size=batch, mxu_bf16=mxu_bf16,
+        print_freq=10**6,
+    )
+    model = registry.build_model(cfg)
+    state = create_train_state(
+        jr.PRNGKey(0), model, cfg, input_shape=(1, 32, 32, 3),
+        steps_per_epoch=100,
+    )
+    x = jr.normal(jr.PRNGKey(1), (batch, 32, 32, 3), jnp.float32)
+    y = jr.randint(jr.PRNGKey(2), (batch,), 0, 10)
+    step_fn = make_train_step(model, cfg)
+    return step_fn, state, x, y
+
+
+def _qat_e2e_s(step_fn, state, x, y, n1, n2, reps=3) -> float:
+    """Train-step seconds under the chained value-fetch protocol.
+
+    The chain couples through the LOSS (x perturbed by loss*1e-9 each
+    iteration, losses accumulated into the fetched scalar), so every step's
+    full gradient/optimizer work is live — the two XLA-DCE traps documented
+    in tools/qat_breakdown.py (constant-foldable step counter; pruned
+    unused-grad contractions) cannot fire."""
+    import time
+
+    def prog_for(n):
+        @jax.jit
+        def prog(state, x):
+            acc = 0.0
+            for _ in range(n):
+                state, m = step_fn(state, x, y)
+                x = x + (m["loss"] * 1e-9).astype(x.dtype)
+                acc = acc + m["loss"]
+            return acc
+
+        return prog
+
+    def timed(n):
+        prog = prog_for(n)
+        _ = np.asarray(prog(state, x))  # compile + settle
+        best = float("inf")
+        for r in range(reps):
+            xr = x + jnp.float32(r) * 1e-6
+            _ = np.asarray(jnp.mean(xr))
+            t0 = time.perf_counter()
+            _ = np.asarray(prog(state, xr))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(n2) - timed(n1)) / (n2 - n1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families",
                     default="resnet20,resnet56,densenet40,mobilenetv2,resnet50")
     ap.add_argument("--e2e", action="store_true",
                     help="also time each family's full graph (same process)")
+    ap.add_argument("--qat", default="",
+                    help="comma list of QAT configs to ceiling-price, e.g. "
+                         "'resnet20:bf16,resnet20:f32' — inventories the "
+                         "full fwd+bwd conv set of the production train "
+                         "step and reports frac_of_achievable next to the "
+                         "train img/s (VERDICT r3 item 7)")
+    ap.add_argument("--qat_batch", type=int, default=1024)
     ap.add_argument("--out", default="/tmp/shape_ceilings.json")
     ap.add_argument("--smoke", action="store_true")
     a = ap.parse_args()
@@ -241,8 +386,51 @@ def main():
     report = {"shapes": [], "models": {}}
     n1, n2 = (1, 2) if a.smoke else (8, 40)
 
-    for fam in a.families.split(","):
-        fam = fam.strip()
+    for spec in filter(None, a.qat.split(",")):
+        fam, prec = spec.strip().split(":")
+        batch = 8 if a.smoke else a.qat_batch
+        step_fn, state, x, y = _init_qat(fam, batch, mxu_bf16=(prec == "bf16"))
+
+        def traced(state, x=x, y=y, step_fn=step_fn):
+            new_state, m = step_fn(state, x, y)
+            return new_state
+
+        inv = conv_inventory(traced, state)
+        ceiling_s = 0.0
+        rows = []
+        for key, count in sorted(inv.items(),
+                                 key=lambda kv: -shape_flops(kv[0]) * kv[1]):
+            if key not in shape_times:
+                shape_times[key] = measure_shape(key, n1=n1, n2=n2)
+            t = shape_times[key]
+            rows.append({
+                "lhs": key[0], "rhs": key[1], "out": key[2],
+                "dtype": key[9], "precision": key[11], "count": count,
+                "us_per_conv": round(t * 1e6, 1),
+                "achievable_tops": round(
+                    shape_flops(key) / max(t, 1e-12) / 1e12, 1),
+                "total_ms": round(count * t * 1e3, 3),
+            })
+            ceiling_s += count * t
+        name = f"{fam}_qat_{prec}"
+        e2e = _qat_e2e_s(step_fn, state, x, y,
+                         n1=1 if a.smoke else 2, n2=2 if a.smoke else 8,
+                         reps=1 if a.smoke else 3)
+        model_row = {
+            "family": name, "batch": batch,
+            "ceiling_ms": round(ceiling_s * 1e3, 3),
+            "n_distinct_shapes": len(inv),
+            "e2e_ms": round(e2e * 1e3, 3),
+            "frac_of_achievable": round(ceiling_s / e2e, 4),
+            "imgs_per_sec": round(batch / e2e, 1),
+        }
+        report["models"][name] = model_row
+        report["shapes"].append({"family": name, "rows": rows})
+        print(json.dumps(model_row), flush=True)
+        for r in rows:
+            print(json.dumps(r), flush=True)
+
+    for fam in filter(None, (f.strip() for f in a.families.split(","))):
         batch = 8 if a.smoke else BATCHES[fam]
         fwd, qp, x = _init_family(fam, batch)
         inv = conv_inventory(fwd, qp, x)
@@ -254,7 +442,8 @@ def main():
             t = shape_times[key]
             fl = shape_flops(key)
             rows.append({
-                "lhs": key[0], "rhs": key[1], "strides": key[2], "fgc": key[4],
+                "lhs": key[0], "rhs": key[1], "strides": key[3],
+                "fgc": key[7], "dtype": key[9],
                 "count": count, "us_per_conv": round(t * 1e6, 1),
                 "achievable_tops": round(fl / max(t, 1e-12) / 1e12, 1),
                 "total_ms": round(count * t * 1e3, 3),
