@@ -210,18 +210,40 @@ def engine_from_artifact(
     )
     from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
 
-    # peek meta for the model name
+    # peek meta for the model name / bit widths / packing
     raw = np.load(path)
-    model_name = str(raw["__meta__/model"]) if "__meta__/model" in raw.files else "resnet20"
+
+    def _meta(key, default):
+        return raw[f"__meta__/{key}"] if f"__meta__/{key}" in raw.files else default
+
+    model_name = str(_meta("model", "resnet20"))
+    weight_bits = int(_meta("weight_bits", 8))
+    act_bits = int(_meta("act_bits", 8))
+    packed = bool(int(_meta("packed_int4", 0)))
     from alignq_tpu.models import resnet20_quant, resnet56_quant
 
     builders = {"resnet20": resnet20_quant, "resnet56": resnet56_quant}
     assert model_name in builders, f"artifact model {model_name!r} not servable here"
-    model = builders[model_name](bitW=8, abitW=8, method="ours")
+    model = builders[model_name](
+        bitW=weight_bits, abitW=act_bits, method="ours"
+    )
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    template = convert_resnet20(variables["params"], variables["batch_stats"])
+    template = convert_resnet20(
+        variables["params"], variables["batch_stats"],
+        weight_bits=weight_bits, act_bits=act_bits,
+    )
+    if packed:
+        # int4-packed artifact (tools/export_int8.py --pack_int4): the
+        # template must mirror the saved structure; weights stay packed in
+        # HBM and the nibble expansion runs in-graph ahead of each conv
+        from alignq_tpu.kernels.convert import packed_int4_forward, pack_qparams_int4
+
+        template = pack_qparams_int4(template)
     qparams, meta = load_int8_artifact(path, template)
     kw = forward_kwargs_from_meta(meta)
-    fwd = functools.partial(resnet20_int8_forward, **kw)
+    if packed:
+        fwd = functools.partial(packed_int4_forward, resnet20_int8_forward, **kw)
+    else:
+        fwd = functools.partial(resnet20_int8_forward, **kw)
     return BatchedInferenceEngine(fwd, qparams, batch_size, (32, 32, 3), mesh=mesh)

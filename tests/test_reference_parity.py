@@ -87,6 +87,26 @@ def test_reference_baseline_quantizers_parity():
     assert r.returncode == 0
 
 
+def test_reference_dann_endtask_smoke():
+    """DA-family end-task A/B (tools/reference_endtask_ab_dann.py, VERDICT
+    r3 item 5): the reference dann_office driver's OWN train()/test() for a
+    few epochs vs fit_dann's production step/optimizer/eval from the same
+    init and batch order, compared at the TASK level (target top-1). A
+    3-epoch synthetic run is noisy — the tool's default 10 pts tolerance is
+    a smoke bound; the multi-epoch measurement lives in BASELINE.md."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/reference_endtask_ab_dann.py",
+         "--epochs", "3", "--intended"],
+        capture_output=True, text=True, timeout=2400, env=env,
+    )
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    rec = json.loads(lines[-1])
+    assert rec["pass"], rec
+    assert r.returncode == 0
+
+
 @pytest.mark.parametrize("family,bits", [("densenet40", 4), ("mobilenetv2", 8)])
 def test_reference_model_topologies_parity(family, bits):
     """DenseNet-40 / MobileNetV2 topologies vs the reference's own model

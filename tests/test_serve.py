@@ -57,6 +57,46 @@ class TestServing:
         finally:
             engine.close()
 
+    def test_engine_from_packed_int4_artifact(self, tmp_path):
+        """An int4-packed W4A4 artifact (tools/export_int8.py --pack_int4)
+        serves bit-identically to the unpacked jitted graph — the packed
+        format is transparent at the API boundary."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from alignq_tpu.kernels.artifact import save_int8_artifact
+        from alignq_tpu.kernels.convert import pack_qparams_int4
+        from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+        from alignq_tpu.serve import engine_from_artifact
+
+        model = resnet20_quant(bitW=4, abitW=4, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(6), x, train=False)
+        qp = convert_resnet20(
+            variables["params"], variables["batch_stats"],
+            weight_bits=4, act_bits=4,
+        )
+        path = str(tmp_path / "model_w4_packed.npz")
+        save_int8_artifact(path, pack_qparams_int4(qp), meta={
+            "model": "resnet20", "act_bits": 4, "weight_bits": 4,
+            "act_impl": "bins", "stream": "int16", "packed_int4": 1,
+        })
+        engine = engine_from_artifact(path, batch_size=4)
+        try:
+            img = np.random.RandomState(7).randn(4, 32, 32, 3).astype(np.float32)
+            out = engine.submit(img).result(timeout=120)
+        finally:
+            engine.close()
+        ref = np.asarray(
+            jax.jit(
+                functools.partial(
+                    resnet20_int8_forward, act_bits=4, act_impl="bins"
+                )
+            )(qp, jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)
+
     def test_fast_path_options(self):
         """act_impl/stream reach the engine's deploy graph."""
         model = resnet20_quant(bitW=8, abitW=8, method="ours", variant="int8")

@@ -79,6 +79,13 @@ def main():
              "so serving picks the matching graph",
     )
     p.add_argument(
+        "--pack_int4", action="store_true",
+        help="with --save and --bits 4: nibble-pack the conv kernels "
+             "(kernels/convert.py pack_qparams_int4) before saving — "
+             "halves the artifact's kernel bytes; serving unpacks in-graph "
+             "(serve.py engine_from_artifact reads the packed_int4 meta)",
+    )
+    p.add_argument(
         "--deploy_exact", action="store_true",
         help="deploy-exact QAT: fake-quantize the stem-input and residual "
              "requant sites during training exactly as the INT graph does "
@@ -227,12 +234,21 @@ def main():
     if a.save:
         from alignq_tpu.kernels.artifact import save_int8_artifact
 
-        save_int8_artifact(a.save, qparams, meta={
-            "model": a.model, "act_bits": a.bits, "act_impl": deploy_impl,
-            "stream": a.stream, "variant": a.variant,
+        save_qp = qparams
+        if a.pack_int4:
+            if a.bits != 4:
+                p.error("--pack_int4 requires --bits 4 (codes must fit a nibble)")
+            from alignq_tpu.kernels.convert import pack_qparams_int4
+
+            save_qp = pack_qparams_int4(qparams)
+        save_int8_artifact(a.save, save_qp, meta={
+            "model": a.model, "act_bits": a.bits, "weight_bits": a.bits,
+            "act_impl": deploy_impl, "stream": a.stream, "variant": a.variant,
             "deploy_exact": int(a.deploy_exact),
+            "packed_int4": int(a.pack_int4),
         })
-        print(f"saved INT artifact -> {a.save}")
+        print(f"saved INT artifact -> {a.save}"
+              + (" (int4-packed kernels)" if a.pack_int4 else ""))
 
 
 if __name__ == "__main__":

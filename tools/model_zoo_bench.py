@@ -70,6 +70,59 @@ def bench_resnet20(results, batches=(1024, 2048, 4096)):
         )
 
 
+def bench_resnet20_w4a4(results, batch=2048):
+    """W4A4 deployment rows (VERDICT r3 item 6): the flagship low-bit
+    config's throughput story. Rows:
+      - w4a4        — erf act grid (reference-exact semantics)
+      - w4a4_bins   — direct bin-comparison act codes (15-entry A4 grid)
+      - w4a4_fast   — bins + int8 residual stream (pairs with a
+                      stream_int8=True QAT run; throughput is QAT-agnostic)
+      - w4a4_packed — int4 nibble-packed kernels unpacked IN-GRAPH
+                      (kernels/convert.py packed_int4_forward: weights live
+                      packed in HBM, halving weight traffic at a small
+                      unpack cost — resnet20 is activation-dominated so
+                      this row mostly proves the cost is ~nil)
+    """
+    import functools
+
+    from alignq_tpu.kernels.convert import pack_qparams_int4, packed_int4_forward
+    from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+    from alignq_tpu.models import resnet20_quant
+
+    model = resnet20_quant(bitW=4, abitW=4, method="ours")
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    qp = convert_resnet20(
+        v["params"], v["batch_stats"], weight_bits=4, act_bits=4
+    )
+    _measure_forward(
+        f"resnet20_w4a4_b{batch}",
+        functools.partial(resnet20_int8_forward, act_bits=4),
+        qp, x, results,
+    )
+    _measure_forward(
+        f"resnet20_w4a4_bins_b{batch}",
+        functools.partial(resnet20_int8_forward, act_bits=4, act_impl="bins"),
+        qp, x, results,
+    )
+    _measure_forward(
+        f"resnet20_w4a4_fast_b{batch}",
+        functools.partial(
+            resnet20_int8_forward, act_bits=4, act_impl="bins", stream="int8"
+        ),
+        qp, x, results,
+    )
+    packed = pack_qparams_int4(qp)
+    _measure_forward(
+        f"resnet20_w4a4_packed_b{batch}",
+        functools.partial(
+            packed_int4_forward, resnet20_int8_forward, act_bits=4,
+            act_impl="bins",
+        ),
+        packed, x, results,
+    )
+
+
 def bench_resnet56(results, batch=1024):
     import functools
 
@@ -108,6 +161,29 @@ def bench_densenet40(results, batch=1024):
         functools.partial(densenet40_int8_forward, act_impl="poly"),
         qp, x, results,
     )
+    # int8 stage buffer (VERDICT r3 item 1 / models/densenet.py stage_int8):
+    # the growing per-stage feature map is stored as int8 codes, 4x less
+    # HBM traffic on the 12 full-width bn+act re-reads per stage. Fresh-init
+    # StageRequant calibration stats are fine for throughput (accuracy is
+    # tools/export_int8.py --stage_int8's job: +0.00 pts measured).
+    model_s = densenet_40_quant(
+        bitW=8, abitW=8, method="ours", variant="int8",
+        deploy_exact=True, stage_int8=True,
+    )
+    vs = model_s.init(jax.random.PRNGKey(1), x, train=False)
+    qps = convert_densenet40(vs["params"], vs["batch_stats"], stage_int8=True)
+    _measure_forward(
+        f"densenet40_stage_int8_b{batch}",
+        functools.partial(densenet40_int8_forward, stage_int8=True),
+        qps, x, results,
+    )
+    _measure_forward(
+        f"densenet40_stage_int8_poly_b{batch}",
+        functools.partial(
+            densenet40_int8_forward, stage_int8=True, act_impl="poly"
+        ),
+        qps, x, results,
+    )
 
 
 def bench_mobilenetv2(results, batch=1024):
@@ -128,6 +204,17 @@ def bench_mobilenetv2(results, batch=1024):
         f"mobilenetv2_poly_b{batch}",
         functools.partial(mobilenetv2_int8_forward, act_impl="poly"),
         qp, x, results,
+    )
+    # W4A4 row (VERDICT r3 item 6) — the README flagship low-bit width
+    model4 = mobile_v2(bitW=4, abitW=4, method="ours")
+    v4 = model4.init(jax.random.PRNGKey(1), x, train=False)
+    qp4 = convert_mobilenetv2(
+        v4["params"], v4["batch_stats"], weight_bits=4, act_bits=4
+    )
+    _measure_forward(
+        f"mobilenetv2_w4a4_bins_b{batch}",
+        functools.partial(mobilenetv2_int8_forward, act_bits=4, act_impl="bins"),
+        qp4, x, results,
     )
 
 
@@ -156,6 +243,7 @@ def bench_resnet50(results, batch=128):
 
 FAMILIES = {
     "resnet20": bench_resnet20,
+    "resnet20_w4a4": bench_resnet20_w4a4,
     "resnet56": bench_resnet56,
     "densenet40": bench_densenet40,
     "mobilenetv2": bench_mobilenetv2,
@@ -175,7 +263,8 @@ def main():
 
         SMOKE = True
         FAMILIES["resnet20"] = functools.partial(bench_resnet20, batches=(8,))
-        for fn in (bench_resnet56, bench_densenet40, bench_mobilenetv2, bench_resnet50):
+        for fn in (bench_resnet20_w4a4, bench_resnet56, bench_densenet40,
+                   bench_mobilenetv2, bench_resnet50):
             FAMILIES[fn.__name__.replace("bench_", "")] = functools.partial(
                 fn, batch=8 if fn is not bench_resnet50 else 2
             )
