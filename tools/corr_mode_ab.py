@@ -70,7 +70,6 @@ def main():
         with open(os.path.join(job, "run", "test.jsonl")) as f:
             for line in f:
                 curve.append(json.loads(line)["top1"])
-        trans = []
         # mean trans loss from the train stream would need print_freq=1;
         # report final duals magnitude instead (annealing indicator)
         state = result["state"]
@@ -83,10 +82,14 @@ def main():
             )
             / max(len(state.admm_duals), 1)
         )
+        to100 = next((i + 1 for i, c in enumerate(curve) if c >= 100.0), None)
         rec = {
             "mode": mode, "mesh": list(mesh),
             "final_top1": round(curve[-1], 2),
             "best_top1": round(result["best_top1"], 2),
+            # the synthetic task saturates, so convergence SPEED is the
+            # discriminative signal (CORR_MODE_AB_r4.json)
+            "epochs_to_100": to100,
             "curve": [round(c, 2) for c in curve],
             "mean_gamma_mag": round(dual_mag, 5),
         }
