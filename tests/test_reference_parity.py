@@ -91,13 +91,18 @@ def test_reference_dann_endtask_smoke():
     """DA-family end-task A/B (tools/reference_endtask_ab_dann.py, VERDICT
     r3 item 5): the reference dann_office driver's OWN train()/test() for a
     few epochs vs fit_dann's production step/optimizer/eval from the same
-    init and batch order, compared at the TASK level (target top-1). A
-    3-epoch synthetic run is noisy — the tool's default 10 pts tolerance is
-    a smoke bound; the multi-epoch measurement lives in BASELINE.md."""
+    init and batch order, compared at the TASK level (best target top-1,
+    the reference's own tgt_best_prec1 protocol). The tool's default 10 pts
+    tolerance is a smoke bound; the 10-epoch measurement lives in
+    BASELINE.md (gap_best 0.0 in both modes). Hyperparameters are the
+    measured STABLE configuration (tool docstring) — at the unstable
+    defaults (lr .01, batch 8) a 3-4 epoch window genuinely diverges
+    task-wise on either stack."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
     r = subprocess.run(
         [sys.executable, "/root/repo/tools/reference_endtask_ab_dann.py",
-         "--epochs", "3", "--intended"],
+         "--epochs", "4", "--lr", "0.003", "--batch", "16",
+         "--n_train", "256", "--intended"],
         capture_output=True, text=True, timeout=2400, env=env,
     )
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
