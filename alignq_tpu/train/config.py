@@ -70,9 +70,14 @@ class TrainConfig:
     # momentum buffer (optimizer.py:249-251; SURVEY.md 2.4.7). True (default)
     # applies the paper's intended correction (optim/correction.py).
     use_correction: bool = True
-    # cross-device corr mode: 'local' (per-shard block-diag, default) or
-    # 'gather' (exact global-batch matrix via all_gather) — SURVEY.md section 5
-    corr_mode: str = "local"
+    # cross-device corr mode — SURVEY.md section 5. 'gather' (default):
+    # exact global-batch matrix via all_gather, the reference's semantics.
+    # 'local': per-shard block-diagonal matrices with per-shard duals, zero
+    # corr-path communication. Measured A/B (CORR_MODE_AB_r4.json): equal
+    # final/best top-1, but 'local' converges ~4 epochs slower (B_local
+    # matrices are a weaker alignment signal) — pick it only when the
+    # per-site all-gather is the measured interconnect bottleneck.
+    corr_mode: str = "gather"
     # DP gradient all-reduce wire format: 'f32' | 'bf16' | 'int8_gather'
     # (dist/collectives.py)
     grad_compression: str = "f32"
