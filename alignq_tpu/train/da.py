@@ -33,7 +33,7 @@ from alignq_tpu.optim.correction import build_correction_mask, scale_by_alignq_c
 from alignq_tpu.train.config import TrainConfig
 from alignq_tpu.train.state import TrainState, flatten_site_names
 from alignq_tpu.train.steps import cross_entropy_loss
-from alignq_tpu.utils.logging_utils import get_logger
+from alignq_tpu.utils.logging_utils import dump_config, get_logger
 from alignq_tpu.utils.meters import AverageMeter
 
 
@@ -336,6 +336,7 @@ def fit_dsan(
     from alignq_tpu.train.state import create_train_state
 
     logger = get_logger(f"{cfg.job_dir}/logger.log")
+    dump_config(cfg, cfg.job_dir)  # args dump =~ reference config.txt (common.py:49-54)
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 
@@ -412,6 +413,7 @@ def fit_dann(
     from alignq_tpu.train.state import create_train_state
 
     logger = get_logger(f"{cfg.job_dir}/logger.log")
+    dump_config(cfg, cfg.job_dir)  # args dump =~ reference config.txt (common.py:49-54)
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 
@@ -548,6 +550,7 @@ def fit_mdd(
     from alignq_tpu.train.state import create_train_state
 
     logger = get_logger(f"{cfg.job_dir}/logger.log")
+    dump_config(cfg, cfg.job_dir)  # args dump =~ reference config.txt (common.py:49-54)
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 

@@ -23,7 +23,7 @@ from alignq_tpu.train.checkpoint import CheckpointManager
 from alignq_tpu.train.config import TrainConfig
 from alignq_tpu.train.state import create_train_state
 from alignq_tpu.train.steps import make_eval_step, make_train_step
-from alignq_tpu.utils.logging_utils import MetricWriter, get_logger
+from alignq_tpu.utils.logging_utils import MetricWriter, dump_config, get_logger
 from alignq_tpu.utils.meters import AverageMeter
 
 
@@ -160,6 +160,9 @@ def fit(
 
     writer_train = MetricWriter(cfg.job_dir, "train") if primary else _NullWriter()
     writer_test = MetricWriter(cfg.job_dir, "test") if primary else _NullWriter()
+    if primary:
+        # args dump ≙ reference config.txt (utils/common.py:49-54)
+        dump_config(cfg, cfg.job_dir)
 
     eval_model = model
     if model is None:

@@ -32,6 +32,25 @@ def get_logger(file_path: str | None = None, name: str = "alignq") -> logging.Lo
     return logger
 
 
+def dump_config(cfg, job_dir: str) -> str:
+    """Write the run's config dataclass to job_dir/config.json.
+
+    Reference: the args dump to config.txt at run start
+    (utils/common.py:49-54) — the reference writes `k: v` text lines; we
+    write JSON (machine-reloadable) with the same purpose: every run
+    directory records exactly the configuration that produced it."""
+    import dataclasses
+
+    os.makedirs(job_dir, exist_ok=True)
+    path = os.path.join(job_dir, "config.json")
+    raw = dataclasses.asdict(cfg)
+    rec = {k: (list(v) if isinstance(v, tuple) else v) for k, v in raw.items()}
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=2, sort_keys=True)
+        f.write("\n")
+    return path
+
+
 class MetricWriter:
     """Append-only JSONL scalar stream, one file per split."""
 

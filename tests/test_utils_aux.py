@@ -20,6 +20,21 @@ class TestMetricWriter:
         assert recs[0]["loss"] == 2.5 and recs[0]["top1"] == 10.0
         assert "time" in recs[1]
 
+    def test_dump_config_roundtrip(self, tmp_path):
+        # reference config.txt args dump (utils/common.py:49-54) equivalent
+        from alignq_tpu.train.config import TrainConfig
+        from alignq_tpu.utils.logging_utils import dump_config
+
+        cfg = TrainConfig(bitW=4, lr_decay_steps=(80, 120), admm=True)
+        path = dump_config(cfg, str(tmp_path / "job"))
+        rec = json.load(open(path))
+        assert rec["bitW"] == 4 and rec["admm"] is True
+        assert rec["lr_decay_steps"] == [80, 120]
+        assert rec["method"] == "ours"
+        # reloadable as a config (tuple fields come back as lists)
+        cfg2 = TrainConfig(**{**rec, "lr_decay_steps": tuple(rec["lr_decay_steps"])})
+        assert cfg2.bitW == cfg.bitW
+
     def test_logger_writes_file(self, tmp_path):
         from alignq_tpu.utils.logging_utils import get_logger
 
