@@ -148,15 +148,19 @@ def _stage_prealloc(out, blocks, act_bits, act_impl):
     for i, blk in enumerate(blocks):
         c_now = c + growth * i
         bn, q = blk["bn"], blk["conv"]
-        pad_n = c_final - c_now
-        scale_p = jnp.pad(bn.scale.reshape(-1), (0, pad_n))
-        bias_p = jnp.pad(bn.bias.reshape(-1), (0, pad_n))
-        hh = buf * scale_p + bias_p
+        # STATIC prefix slice: block i's consumer only touches the c_now
+        # live channels (the Python unroll makes c_now a compile-time
+        # constant). The earlier zero-padded-to-c_final formulation ran the
+        # bn+act epilogue AND the conv over dead channels that contribute
+        # exactly 0 to the accumulator — ~1.9x the mandatory VPU elements
+        # and MACs summed over a stage (sum of c_now vs n_blocks*c_final).
+        # Integer-exact vs padding: dropping exact-zero contributions
+        # changes no accumulator bit.
+        view = jax.lax.slice_in_dim(buf, 0, c_now, axis=3)
+        hh = view * bn.scale.reshape(-1) + bn.bias.reshape(-1)
         codes = jnp.maximum(_erfq_codes(hh, act_bits, act_impl), 0)
-        k = q.kernel_int8  # (3, 3, c_now, growth)
-        k_p = jnp.pad(k, ((0, 0), (0, 0), (0, pad_n), (0, 0)))
         acc = jax.lax.conv_general_dilated(
-            codes.astype(jnp.int8), k_p, (1, 1), [(1, 1)] * 2,
+            codes.astype(jnp.int8), q.kernel_int8, (1, 1), [(1, 1)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
@@ -184,9 +188,8 @@ def _stage_prealloc_int8(c8, svec, blocks, act_bits, act_impl):
     folds over the shared code grid as h = codes*(svec*bn.scale) + bn.bias).
     Each block's conv epilogue requantizes its new features onto their
     calibrated slice scale (codes = round(acc * conv_scale / s_out)) and
-    writes int8. Zero-padding is exact as in the f32 version: unwritten
-    channels hold code 0, svec*bn.scale and bn.bias pad with 0 -> h = 0 ->
-    erfq(0) = 0 -> zero kernel column contributes 0.
+    writes int8. Consumers read a static prefix slice of the live
+    channels, as in the f32 version.
     """
     b, h, w, c = c8.shape
     growth = blocks[0]["conv"].kernel_int8.shape[-1]
@@ -196,14 +199,17 @@ def _stage_prealloc_int8(c8, svec, blocks, act_bits, act_impl):
     for i, blk in enumerate(blocks):
         c_now = c + growth * i
         bn, q = blk["bn"], blk["conv"]
-        pad_n = c_final - c_now
-        scale_p = jnp.pad(svec[:c_now] * bn.scale.reshape(-1), (0, pad_n))
-        bias_p = jnp.pad(bn.bias.reshape(-1), (0, pad_n))
-        hh = buf.astype(jnp.float32) * scale_p + bias_p
+        # STATIC prefix slice over the live channels (see _stage_prealloc:
+        # c_now is a compile-time constant, dead channels contribute
+        # exactly 0 — dropping them is integer-exact and halves the per-
+        # stage dequant+bn+act VPU elements and conv MACs)
+        view = jax.lax.slice_in_dim(buf, 0, c_now, axis=3)
+        hh = view.astype(jnp.float32) * (
+            svec[:c_now] * bn.scale.reshape(-1)
+        ) + bn.bias.reshape(-1)
         codes = jnp.maximum(_erfq_codes(hh, act_bits, act_impl), 0)
-        k_p = jnp.pad(q.kernel_int8, ((0, 0), (0, 0), (0, pad_n), (0, 0)))
         acc = jax.lax.conv_general_dilated(
-            codes.astype(jnp.int8), k_p, (1, 1), [(1, 1)] * 2,
+            codes.astype(jnp.int8), q.kernel_int8, (1, 1), [(1, 1)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
@@ -238,15 +244,13 @@ def densenet40_int8_forward(
     full-width buffer updated in place (lax.dynamic_update_slice) instead
     of re-concatenating the whole growing map every block (the concat
     chain copies O(n_blocks^2) bytes — DenseNet's dominant cost at batch
-    scale). Every block then consumes the FULL-width buffer with its BN
-    scale/bias and conv kernel zero-padded over not-yet-written channels:
-    those channels hold 0, bn gives 0, erfq(0)=0 codes, and a zero kernel
-    column contributes exactly 0 to the int32 accumulator — every integer
-    op matches the concat formulation exactly; the f32 epilogues can
-    differ by 1 ulp (different fusion context -> different FMA
-    contraction; measured max logit diff 1.2e-7, zero code flips), at
-    ~1.4x the conv FLOPs (padded C_in), which these 12-output-channel
-    convs have to spare."""
+    scale). Each block consumes a STATIC prefix slice of the buffer (its
+    c_now live channels — compile-time constants under the Python
+    unroll), so per-consumer bn+act VPU work and conv MACs are exactly
+    the reference concat formulation's, with none of its copies. Every
+    integer op matches the concat formulation exactly; the f32 epilogues
+    can differ by 1 ulp (different fusion context -> different FMA
+    contraction; measured max logit diff 1.2e-7, zero code flips)."""
     act_scale = 2.0 / _act_g(act_bits)
     # stem: plain quantized conv on the image (no bn before it)
     q = qparams["conv1"]
