@@ -191,59 +191,57 @@ def build_int8_resnet20_engine(
 def engine_from_artifact(
     path: str, batch_size: int = 256, mesh: Any = None
 ) -> BatchedInferenceEngine:
-    """Serve a frozen INT artifact (tools/export_int8.py --save).
+    """Serve a frozen INT artifact (tools/export_int8.py --save,
+    tools/export_da_int8.py --save).
 
-    The artifact's meta records which deploy graph its weights were
-    trained for (act_impl / stream / bits — kernels/artifact.py
-    forward_kwargs_from_meta), so the engine always runs the matching
-    graph. Template qparams come from converting a fresh init of the
-    recorded model."""
+    The artifact's meta records which family and deploy graph its weights
+    were trained for; the deploy registry
+    (kernels/deploy_registry.py, VERDICT r4 item 4) turns that into a
+    structure-matching template pytree + the family's INT forward, so
+    every exported family — CIFAR nets (incl. DenseNet stage-int8 and
+    int4-packed PreAct ResNets), ImageNet ResNets, and the DA heads —
+    serves through the same engine."""
     import functools
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from alignq_tpu.kernels.artifact import (
-        forward_kwargs_from_meta,
-        load_int8_artifact,
-    )
-    from alignq_tpu.kernels.infer import convert_resnet20, resnet20_int8_forward
+    from alignq_tpu.kernels.artifact import load_int8_artifact
+    from alignq_tpu.kernels.deploy_registry import DEPLOY_FAMILIES
 
-    # peek meta for the model name / bit widths / packing
+    # peek meta for the family / packing before building the template
     raw = np.load(path)
-
-    def _meta(key, default):
-        return raw[f"__meta__/{key}"] if f"__meta__/{key}" in raw.files else default
-
-    model_name = str(_meta("model", "resnet20"))
-    weight_bits = int(_meta("weight_bits", 8))
-    act_bits = int(_meta("act_bits", 8))
-    packed = bool(int(_meta("packed_int4", 0)))
-    from alignq_tpu.models import resnet20_quant, resnet56_quant
-
-    builders = {"resnet20": resnet20_quant, "resnet56": resnet56_quant}
-    assert model_name in builders, f"artifact model {model_name!r} not servable here"
-    model = builders[model_name](
-        bitW=weight_bits, abitW=act_bits, method="ours"
-    )
-    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    template = convert_resnet20(
-        variables["params"], variables["batch_stats"],
-        weight_bits=weight_bits, act_bits=act_bits,
-    )
+    meta0 = {
+        k.split("/", 1)[1]: raw[k]
+        for k in raw.files
+        if k.startswith("__meta__/")
+    }
+    model_name = str(np.asarray(meta0.get("model", "resnet20")))
+    packed = bool(int(np.asarray(meta0.get("packed_int4", 0))))
+    if model_name not in DEPLOY_FAMILIES:
+        raise ValueError(
+            f"artifact model {model_name!r} not in the deploy registry; "
+            f"have {sorted(DEPLOY_FAMILIES)}"
+        )
+    family = DEPLOY_FAMILIES[model_name]
+    template = family.template(meta0)
+    base_fwd = family.forward(meta0)
     if packed:
         # int4-packed artifact (tools/export_int8.py --pack_int4): the
         # template must mirror the saved structure; weights stay packed in
         # HBM and the nibble expansion runs in-graph ahead of each conv
+        if not family.supports_packed_int4:
+            raise ValueError(f"{model_name!r} has no int4-packed deploy path")
         from alignq_tpu.kernels.convert import packed_int4_forward, pack_qparams_int4
 
         template = pack_qparams_int4(template)
-    qparams, meta = load_int8_artifact(path, template)
-    kw = forward_kwargs_from_meta(meta)
-    if packed:
-        fwd = functools.partial(packed_int4_forward, resnet20_int8_forward, **kw)
-    else:
-        fwd = functools.partial(resnet20_int8_forward, **kw)
-    return BatchedInferenceEngine(fwd, qparams, batch_size, (32, 32, 3), mesh=mesh)
+        fwd_for_pack = base_fwd.func if isinstance(
+            base_fwd, functools.partial
+        ) else base_fwd
+        pack_kw = base_fwd.keywords if isinstance(
+            base_fwd, functools.partial
+        ) else {}
+        base_fwd = functools.partial(packed_int4_forward, fwd_for_pack, **pack_kw)
+    qparams, _meta = load_int8_artifact(path, template)
+    return BatchedInferenceEngine(
+        base_fwd, qparams, batch_size, family.input_shape(meta0), mesh=mesh
+    )

@@ -168,6 +168,25 @@ def _build_da_placement(cfg: TrainConfig):
     return place
 
 
+def _da_observability(cfg: "DAConfig"):
+    """Primary-process logger + config dump (ADVICE r4: mirror loop.py's
+    multihost guard — in a multi-process DA run only process 0 writes
+    config.json/logger.log; secondaries log warnings+ to their own file)."""
+    from alignq_tpu.dist import multihost
+
+    primary = multihost.is_primary()
+    log_name = "logger.log" if primary else f"logger.p{jax.process_index()}.log"
+    logger = get_logger(f"{cfg.job_dir}/{log_name}")
+    if primary:
+        # args dump =~ reference config.txt (utils/common.py:49-54)
+        dump_config(cfg, cfg.job_dir)
+    else:
+        import logging
+
+        logger.setLevel(logging.WARNING)
+    return logger
+
+
 def _trans_loss_from(ds, duals, admm_cfg):
     total = 0.0
     for name, d in ds.items():
@@ -335,8 +354,7 @@ def fit_dsan(
 
     from alignq_tpu.train.state import create_train_state
 
-    logger = get_logger(f"{cfg.job_dir}/logger.log")
-    dump_config(cfg, cfg.job_dir)  # args dump =~ reference config.txt (common.py:49-54)
+    logger = _da_observability(cfg)
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 
@@ -412,8 +430,7 @@ def fit_dann(
     """
     from alignq_tpu.train.state import create_train_state
 
-    logger = get_logger(f"{cfg.job_dir}/logger.log")
-    dump_config(cfg, cfg.job_dir)  # args dump =~ reference config.txt (common.py:49-54)
+    logger = _da_observability(cfg)
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 
@@ -549,8 +566,7 @@ def fit_mdd(
     from alignq_tpu.models.mdd import mdd_grl_coeff
     from alignq_tpu.train.state import create_train_state
 
-    logger = get_logger(f"{cfg.job_dir}/logger.log")
-    dump_config(cfg, cfg.job_dir)  # args dump =~ reference config.txt (common.py:49-54)
+    logger = _da_observability(cfg)
     steps_per_epoch = min(len(loaders["src_train"]), len(loaders["tgt_train"]))
     total_steps = steps_per_epoch * cfg.num_epochs
 

@@ -231,10 +231,11 @@ class TestInt8DenseNet:
         np.testing.assert_allclose(i8, fq, atol=0.2)
 
     def test_prealloc_stage_matches_concat(self):
-        """The preallocated-buffer stage (zero-padded BN/kernel over
-        unwritten channels) is integer-exact vs the concat formulation;
-        f32 epilogues may differ by 1 ulp (FMA contraction in a different
-        fusion context)."""
+        """The preallocated-buffer stage (consumers read a static prefix
+        slice [:, :, :, :written] of the stage buffer, so BN/kernels cover
+        exactly the written channels) is integer-exact vs the concat
+        formulation; f32 epilogues may differ by 1 ulp (FMA contraction in
+        a different fusion context)."""
         from alignq_tpu.kernels.infer_densenet import (
             convert_densenet40,
             densenet40_int8_forward,

@@ -97,13 +97,20 @@ def test_reference_dann_endtask_smoke():
     BASELINE.md (gap_best 0.0 in both modes). Hyperparameters are the
     measured STABLE configuration (tool docstring) — at the unstable
     defaults (lr .01, batch 8) a 3-4 epoch window genuinely diverges
-    task-wise on either stack."""
+    task-wise on either stack.
+
+    Flake hardening (VERDICT r4 weak #1 — failed once under full-suite CPU
+    contention, passed standalone): --pin_threads makes both stacks'
+    reduction order load-independent, and --robust_floor 90 accepts the
+    saturation outcome (both stacks reaching the ceiling IS the parity
+    statement; the precise gap measurement lives in BASELINE.md)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
     r = subprocess.run(
         [sys.executable, "/root/repo/tools/reference_endtask_ab_dann.py",
-         "--epochs", "4", "--lr", "0.003", "--batch", "16",
-         "--n_train", "256", "--intended"],
-        capture_output=True, text=True, timeout=2400, env=env,
+         "--epochs", "5", "--lr", "0.003", "--batch", "16",
+         "--n_train", "256", "--intended", "--pin_threads",
+         "--robust_floor", "90"],
+        capture_output=True, text=True, timeout=3000, env=env,
     )
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
     assert lines, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"

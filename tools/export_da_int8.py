@@ -41,6 +41,11 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--lr", type=float, default=None,
                    help="override DAConfig.lr (default 1e-3)")
+    p.add_argument("--save", default=None,
+                   help="save the frozen INT artifact (kernels/artifact.py) "
+                        "with family meta so serve.py engine_from_artifact "
+                        "can rebuild the matching deploy graph "
+                        "(kernels/deploy_registry.py)")
     a = p.parse_args()
 
     from alignq_tpu.train.da import DAConfig, fit_dann, fit_dsan, fit_mdd
@@ -171,6 +176,24 @@ def main():
           f"{100*agree/total:.2f}%")
     print(f"deployment accuracy delta (fake-quant - int): "
           f"{100*(fq_correct-correct)/total:+.2f} pts")
+
+    if a.save:
+        from alignq_tpu.kernels.artifact import save_int8_artifact
+
+        if a.task == "digit":
+            payload = qp  # convert_mnist_dann already bundles trunk + heads
+            meta = {"model": "digit_dann", "weight_bits": bits,
+                    "act_bits": bits, "act_impl": "erf",
+                    "img_size": a.img_size}
+        else:
+            payload = {"trunk": qp, "heads": heads}
+            meta = {"model": a.task, "arch": a.arch, "weight_bits": bits,
+                    "act_bits": bits, "act_impl": "erf",
+                    "image_size": a.image_size, "num_classes": 31}
+            if a.task == "dsan":
+                meta["bottle_neck"] = 1
+        save_int8_artifact(a.save, payload, meta=meta)
+        print(f"saved INT artifact -> {a.save}")
 
 
 if __name__ == "__main__":

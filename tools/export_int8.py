@@ -246,6 +246,11 @@ def main():
             "act_impl": deploy_impl, "stream": a.stream, "variant": a.variant,
             "deploy_exact": int(a.deploy_exact),
             "packed_int4": int(a.pack_int4),
+            # structure/graph options the deploy registry must replay
+            # (kernels/deploy_registry.py)
+            "stage_int8": int(a.stage_int8),
+            "use_stage_kernel": int(getattr(a, "stage_kernel", False)
+                                    and a.model in ("resnet20", "resnet56")),
         })
         print(f"saved INT artifact -> {a.save}"
               + (" (int4-packed kernels)" if a.pack_int4 else ""))
