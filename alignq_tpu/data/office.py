@@ -66,12 +66,21 @@ def load_image_folder(root: str, image_size: int = 224) -> tuple | None:
 def synthetic_domain(
     domain: str, n: int, num_classes: int = 31, image_size: int = 64, seed: int = 0
 ):
-    """Class templates shared across domains; per-domain photometric shift."""
+    """Class templates shared across domains; per-domain photometric shift.
+
+    The domain shift seeds from a DETERMINISTIC digest of the name — NOT
+    Python hash(), whose per-process randomization (PYTHONHASHSEED) made
+    each process of a multihost run generate different pixels for the same
+    domain, breaking the host-identical-global-batch contract
+    (dist/multihost.py local_batch_slice; caught by
+    tests/test_multihost.py::test_two_process_fit_dann_matches_single)."""
+    import zlib
+
     x, y, _, _ = synthetic(
         n_train=n, n_test=1, shape=(image_size, image_size, 3),
         num_classes=num_classes, seed=seed,
     )
-    rng = np.random.RandomState(abs(hash(domain)) % (2**31))
+    rng = np.random.RandomState(zlib.crc32(domain.encode()) % (2**31))
     gain = rng.uniform(0.6, 1.4, (1, 1, 1, 3)).astype(np.float32)
     bias = rng.uniform(-30, 30, (1, 1, 1, 3)).astype(np.float32)
     x = np.clip(x.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)

@@ -53,14 +53,52 @@ def main(argv=None):
     p.add_argument("--job_dir", default=d.job_dir)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--max_steps", type=int, default=None)
+    # distributed execution (VERDICT r4 item 5: DA distribution parity with
+    # the classification CLI — cli.py:45-75). The DA losses are global-
+    # batch-coupled, so only the exact gather mode exists ('local' and
+    # grad compression are classification-driver features; passing them
+    # fails fast in train/da.py _build_da_placement with the explanation).
+    p.add_argument(
+        "--mesh", type=int, nargs="+", default=None, metavar="N",
+        help="device mesh shape, e.g. --mesh 8 (data-parallel; DA "
+             "distributes over the data axis only)",
+    )
+    p.add_argument(
+        "--corr_mode", choices=("gather", "local"), default=d.corr_mode,
+        help="ADMM corr under DP; DA supports 'gather' (exact global batch)",
+    )
+    p.add_argument(
+        "--grad_compression", choices=("f32", "bf16", "int8_gather"),
+        default=d.grad_compression,
+        help="accepted for CLI parity; non-f32 values are rejected for DA "
+             "(gradient reductions are GSPMD-inserted, not manual pmeans)",
+    )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="join a jax.distributed multi-process rendezvous before "
+             "training; --mesh then spans the GLOBAL device set",
+    )
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     a = p.parse_args(argv)
+
+    if a.multihost or a.coordinator:
+        # must run before the first JAX operation of the process
+        from alignq_tpu.dist import multihost
+
+        multihost.initialize(a.coordinator, a.num_processes, a.process_id)
 
     num_classes = a.num_classes or (10 if a.task == "digit" else 31)
     field_names = {f.name for f in dataclasses.fields(DAConfig)}
-    cfg = DAConfig(
-        **{k: v for k, v in vars(a).items() if k in field_names and k != "num_classes"},
-        num_classes=num_classes,
-    )
+    overrides = {
+        k: v for k, v in vars(a).items()
+        if k in field_names and k != "num_classes"
+    }
+    if a.mesh is not None:
+        overrides["mesh_shape"] = tuple(a.mesh)
+        overrides["mesh_axes"] = ("data", "model")[: len(a.mesh)]
+    cfg = DAConfig(**overrides, num_classes=num_classes)
 
     if a.task == "digit":
         from alignq_tpu.data.digits import get_digit_domain

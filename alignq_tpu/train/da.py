@@ -146,6 +146,13 @@ def _build_da_placement(cfg: TrainConfig):
             "ADMM corr and LMMD losses are global-batch-coupled, and the "
             "per-shard 'local' approximation is classification-driver-only"
         )
+    if getattr(cfg, "grad_compression", "f32") != "f32":
+        raise ValueError(
+            "grad_compression is a shard_map (corr_mode='local') feature; "
+            "the DA steps are single GSPMD programs whose gradient "
+            "reductions XLA inserts itself — there is no manual pmean to "
+            "compress (train/steps.py:95 is the classification-local path)"
+        )
     from alignq_tpu.dist import make_mesh, multihost, shard_batch
 
     mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
@@ -165,7 +172,27 @@ def _build_da_placement(cfg: TrainConfig):
             return multihost.place_batch_multihost(batch, mesh, axis)
         return shard_batch(batch, mesh, axis)
 
-    return place
+    def place_eval(batch):
+        """Eval batches go through the same global-array path (mirrors
+        loop.py place_eval): under multihost, a jit fed process-LOCAL
+        arrays is not one global program — each process would evaluate
+        independently and tiny reduction-order deltas break the
+        replicated-metric invariant (caught by
+        tests/test_multihost.py::test_two_process_fit_dann_matches_single).
+        Uneven tail batches replicate instead of sharding."""
+        if batch[0].shape[0] % n_data == 0:
+            return place(batch)
+        if multihost.active():
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(rep, x),
+                batch,
+            )
+        return batch
+
+    return place, place_eval
 
 
 def _da_observability(cfg: "DAConfig"):
@@ -369,7 +396,8 @@ def fit_dsan(
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
     train_step = jax.jit(make_dsan_train_step(model, cfg), donate_argnums=(0,))
-    place = _build_da_placement(cfg)
+    placement = _build_da_placement(cfg)
+    place, place_eval = placement if placement is not None else (None, None)
 
     @jax.jit
     def eval_step(state, x, y):
@@ -398,7 +426,10 @@ def fit_dsan(
                 break
         am = AverageMeter()
         for x, y in loaders["tgt_test"]:
-            em = eval_step(state, jnp.asarray(x), jnp.asarray(y))
+            eb = (jnp.asarray(x), jnp.asarray(y))
+            if place_eval is not None:
+                eb = place_eval(eb)
+            em = eval_step(state, *eb)
             am.update(float(em["top1"]) * 100, len(y))
         best["tgt_top1"] = max(best["tgt_top1"], am.avg)
         logger.info(
@@ -448,7 +479,8 @@ def fit_dann(
 
     train_step = jax.jit(make_dann_train_step(model, cfg), donate_argnums=(0,))
     eval_step = jax.jit(make_dann_eval_step(model, cfg))
-    place = _build_da_placement(cfg)
+    placement = _build_da_placement(cfg)
+    place, place_eval = placement if placement is not None else (None, None)
 
     best = {"tgt_top1": 0.0}
     step = 0
@@ -473,7 +505,10 @@ def fit_dann(
         for split, dom in (("tgt_test", 1), ("src_test", 0)):
             am = AverageMeter()
             for x, y in loaders[split]:
-                em = eval_step(state, jnp.asarray(x), jnp.asarray(y), dom)
+                eb = (jnp.asarray(x), jnp.asarray(y))
+                if place_eval is not None:
+                    eb = place_eval(eb)
+                em = eval_step(state, *eb, dom)
                 am.update(float(em["top1"]) * 100, len(y))
             accs[split] = am.avg
         best["tgt_top1"] = max(best["tgt_top1"], accs["tgt_test"])
@@ -583,7 +618,8 @@ def fit_mdd(
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
     train_step = jax.jit(make_mdd_train_step(model, cfg), donate_argnums=(0,))
-    place = _build_da_placement(cfg)
+    placement = _build_da_placement(cfg)
+    place, place_eval = placement if placement is not None else (None, None)
 
     @jax.jit
     def eval_step(state, x, y):
@@ -611,7 +647,10 @@ def fit_mdd(
                 break
         am = AverageMeter()
         for x, y in loaders["tgt_test"]:
-            em = eval_step(state, jnp.asarray(x), jnp.asarray(y))
+            eb = (jnp.asarray(x), jnp.asarray(y))
+            if place_eval is not None:
+                eb = place_eval(eb)
+            em = eval_step(state, *eb)
             am.update(float(em["top1"]) * 100, len(y))
         best["tgt_top1"] = max(best["tgt_top1"], am.avg)
         logger.info(
