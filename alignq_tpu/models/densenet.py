@@ -36,6 +36,7 @@ class DenseBasicBlock(nn.Module):
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
     stage_int8: bool = False
+    stage_calib: str = "max"
 
     @nn.compact
     def __call__(self, x, train=False, compute_corr=False):
@@ -57,7 +58,7 @@ class DenseBasicBlock(nn.Module):
         if self.stage_int8:
             # the appended features live in the deployed graph's int8 stage
             # buffer — train through its calibrated per-channel requant
-            out = StageRequant(name="requant")(out, train)
+            out = StageRequant(name="requant", calib=self.stage_calib)(out, train)
         return jnp.concatenate([x, out], axis=-1)
 
 
@@ -72,6 +73,7 @@ class Transition(nn.Module):
     cdf_impl: str = "erf"
     mxu_dtype: jnp.dtype | None = None
     stage_int8: bool = False
+    stage_calib: str = "max"
 
     @nn.compact
     def __call__(self, x, train=False, compute_corr=False):
@@ -91,7 +93,7 @@ class Transition(nn.Module):
         out = nn.avg_pool(out, (2, 2), strides=(2, 2))
         if self.stage_int8:
             # the pooled transition output seeds the next stage's int8 buffer
-            out = StageRequant(name="requant")(out, train)
+            out = StageRequant(name="requant", calib=self.stage_calib)(out, train)
         return out
 
 
@@ -124,6 +126,8 @@ class DenseNet(nn.Module):
     # deploy_exact=True and deploy via
     # densenet40_int8_forward(stage_int8=True).
     stage_int8: bool = False
+    # StageRequant calibrator ('max' | 'ema' | 'ema_p999' — nn/layers.py)
+    stage_calib: str = "max"
 
     @nn.compact
     def __call__(self, x, train: bool = False, compute_corr: bool = False):
@@ -139,7 +143,7 @@ class DenseNet(nn.Module):
             w_bit=self.w_bit, a_bit=self.a_bit, method=self.method,
             variant=self.variant, act_range=self.act_range, admm=self.admm,
             cdf_impl=self.cdf_impl, mxu_dtype=self.mxu_dtype,
-            stage_int8=self.stage_int8,
+            stage_int8=self.stage_int8, stage_calib=self.stage_calib,
         )
         inplanes = self.growth_rate * 2
         out = QConv(
@@ -149,7 +153,7 @@ class DenseNet(nn.Module):
         )(x)
         if self.stage_int8:
             # the stem output seeds stage 1's int8 buffer
-            out = StageRequant(name="requant_stem")(out, train)
+            out = StageRequant(name="requant_stem", calib=self.stage_calib)(out, train)
         for stage in range(3):
             for i in range(n):
                 out = DenseBasicBlock(

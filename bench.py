@@ -186,8 +186,13 @@ def main():
     # frac_of_achievable < 1. Guarded: the headline never dies on the
     # diagnostic companion.
     frac_of_achievable = ceiling_ms = None
+    graph_ceiling_ms = frac_of_graph_ceiling = None
     try:
-        from tools.shape_ceilings import conv_inventory, measure_shape
+        from tools.shape_ceilings import (
+            conv_inventory,
+            measure_shape,
+            preact_graph_ceiling,
+        )
 
         inv = conv_inventory(fwd, qparams, x)
         sol_n1, sol_n2 = (1, 2) if smoke else (8, 40)
@@ -197,6 +202,16 @@ def main():
         )
         ceiling_ms = round(ceiling_s * 1e3, 3)
         frac_of_achievable = round(ceiling_s / dt, 4)
+        # GRAPH ceiling (VERDICT r4 item 3): conv speed-of-light + the
+        # measured mandatory act-site / residual-stream / head costs of
+        # this exact topology — the denominator a perfect implementation
+        # of the deployed semantics could actually reach
+        gc = preact_graph_ceiling(
+            20, batch, ceiling_s, act_impl="poly",
+            n1=sol_n1, n2=sol_n2,
+        )
+        graph_ceiling_ms = round(gc["graph_s"] * 1e3, 3)
+        frac_of_graph_ceiling = round(gc["graph_s"] / dt, 4)
     except Exception as e:  # pragma: no cover - diagnostic only
         print(f"# shape-ceiling companion failed: {e!r}", file=sys.stderr)
 
@@ -214,6 +229,12 @@ def main():
                 "frac_of_achievable": frac_of_achievable,
                 "frac_of_nominal": round(roofline_fraction, 4),
                 "conv_ceiling_ms": ceiling_ms,
+                # epilogue-inclusive denominator (act sites + stream + head
+                # are mandatory work of the deployed semantics): the
+                # fraction a perfect implementation could reach is ~1 here,
+                # unlike conv-only frac_of_achievable
+                "graph_ceiling_ms": graph_ceiling_ms,
+                "frac_of_graph_ceiling": frac_of_graph_ceiling,
                 # the e2e AND the ceiling above are measured at THIS batch in
                 # THIS process — the headline configuration is one (batch,
                 # ceiling, e2e) triple (VERDICT r3 weak #4; batch-1024 rows
