@@ -74,4 +74,5 @@ def build_model(cfg: TrainConfig):
             # so the QAT twin needs the deploy_exact stem site
             raise ValueError("stage_int8 requires deploy_exact")
         kwargs["stage_int8"] = True
+        kwargs["stage_calib"] = getattr(cfg, "stage_calib", "max")
     return builders[name](**kwargs)

@@ -55,6 +55,15 @@ class TrainConfig:
     # graph applies (models/densenet.py stage_int8;
     # kernels/infer_densenet.py densenet40_int8_forward(stage_int8=True))
     stage_int8: bool = False
+    # StageRequant calibrator for stage_int8 ('max' | 'ema' | 'ema_p999' —
+    # nn/layers.py StageRequant). Default 'ema' by the measured A/B
+    # (tools/stage_calib_ab.py, ARCHITECTURE.md stage-calibration table):
+    # under an injected early-training activation spike the monotone max's
+    # scale inflates permanently (up to 2.12x) and the trained net lands
+    # 31.6 pts lower than the EMA run; the EMA also uses the code range
+    # better on clean runs (final amax ~0.68x the running max). 'max'
+    # remains the deterministic-upper-bound option.
+    stage_calib: str = "ema"
     admm_mu: float = 0.2
     admm_rho: float = 0.3
     # act-site CDF evaluation: 'erf' (reference-exact) or 'poly' (the

@@ -119,6 +119,26 @@ def test_reference_dann_endtask_smoke():
     assert r.returncode == 0
 
 
+def test_reference_digit_endtask_smoke():
+    """Digit-family end-task A/B (tools/reference_endtask_ab_digit.py,
+    VERDICT r4 item 6): the reference dann_digit driver's OWN
+    train()/test() for 4 epochs vs fit_dann's production step with the
+    plain-SGD optimizer twin, from the same init and batch order. Measured
+    at this exact config: 0.0-pt gaps (both stacks 100.0 by epoch 1).
+    Thread-pinned + saturation-robust like the DANN gate."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/reference_endtask_ab_digit.py",
+         "--epochs", "4", "--pin_threads", "--robust_floor", "90"],
+        capture_output=True, text=True, timeout=2400, env=env,
+    )
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    rec = json.loads(lines[-1])
+    assert rec["pass"], rec
+    assert r.returncode == 0
+
+
 @pytest.mark.parametrize("family,bits", [("densenet40", 4), ("mobilenetv2", 8)])
 def test_reference_model_topologies_parity(family, bits):
     """DenseNet-40 / MobileNetV2 topologies vs the reference's own model

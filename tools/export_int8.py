@@ -64,6 +64,11 @@ def main():
              "requires --cdf_impl poly)",
     )
     p.add_argument(
+        "--stage_calib", choices=("max", "ema", "ema_p999"), default="ema",
+        help="StageRequant calibrator for --stage_int8 (nn/layers.py; "
+             "default per the measured A/B, tools/stage_calib_ab.py)",
+    )
+    p.add_argument(
         "--stream", choices=("int16", "int8"), default="int16",
         help="residual-stream storage in the INT graph: 'int16' carries the "
              "exact code sum; 'int8' requantizes the full stream (shortcut "
@@ -155,6 +160,7 @@ def main():
         correction_exclude=excl, deploy_exact=a.deploy_exact,
         cdf_impl=a.cdf_impl, mxu_bf16=a.mxu_bf16,
         stream_int8=(a.stream == "int8"), stage_int8=a.stage_int8,
+        stage_calib=a.stage_calib,
         **({"lr": a.lr} if a.lr is not None else {}),
         **({"warmup_epochs": a.warmup_epochs} if a.warmup_epochs is not None else {}),
     )
@@ -167,6 +173,7 @@ def main():
         extra["stream_int8"] = True
     if a.stage_int8:
         extra["stage_int8"] = True
+        extra["stage_calib"] = a.stage_calib
     # this instance is the f32-HIGHEST forward used for eval, the agreement
     # measurement, and the INT export (round 2's 6.6-pt W4A4 agreement loss
     # was the EVAL forward silently using bf16 MXU passes)
