@@ -186,7 +186,7 @@ def main():
     # frac_of_achievable < 1. Guarded: the headline never dies on the
     # diagnostic companion.
     frac_of_achievable = ceiling_ms = None
-    graph_ceiling_ms = frac_of_graph_ceiling = None
+    epilogue_isolated_ms = residual_vs_mandatory = None
     try:
         from tools.shape_ceilings import (
             conv_inventory,
@@ -202,16 +202,21 @@ def main():
         )
         ceiling_ms = round(ceiling_s * 1e3, 3)
         frac_of_achievable = round(ceiling_s / dt, 4)
-        # GRAPH ceiling (VERDICT r4 item 3): conv speed-of-light + the
-        # measured mandatory act-site / residual-stream / head costs of
-        # this exact topology — the denominator a perfect implementation
-        # of the deployed semantics could actually reach
+        # RESIDUAL ACCOUNT (VERDICT r4 item 3): price the mandatory
+        # non-conv work (act-quant sites, residual stream, head) of this
+        # exact topology in ISOLATION, then attribute the e2e residual
+        # above the conv ceiling to it. residual_vs_mandatory <= 1 means
+        # the whole gap is measured mandatory work — and its value is the
+        # fraction of the standalone epilogue cost the fused graph
+        # actually pays (XLA folds these ops into the conv epilogues, so
+        # the graph legitimately BEATS the conv+epilogue composition)
         gc = preact_graph_ceiling(
             20, batch, ceiling_s, act_impl="poly",
             n1=sol_n1, n2=sol_n2,
         )
-        graph_ceiling_ms = round(gc["graph_s"] * 1e3, 3)
-        frac_of_graph_ceiling = round(gc["graph_s"] / dt, 4)
+        epi_s = gc["act_s"] + gc["stream_s"] + gc["head_s"]
+        epilogue_isolated_ms = round(epi_s * 1e3, 3)
+        residual_vs_mandatory = round((dt - ceiling_s) / max(epi_s, 1e-9), 4)
     except Exception as e:  # pragma: no cover - diagnostic only
         print(f"# shape-ceiling companion failed: {e!r}", file=sys.stderr)
 
@@ -229,12 +234,13 @@ def main():
                 "frac_of_achievable": frac_of_achievable,
                 "frac_of_nominal": round(roofline_fraction, 4),
                 "conv_ceiling_ms": ceiling_ms,
-                # epilogue-inclusive denominator (act sites + stream + head
-                # are mandatory work of the deployed semantics): the
-                # fraction a perfect implementation could reach is ~1 here,
-                # unlike conv-only frac_of_achievable
-                "graph_ceiling_ms": graph_ceiling_ms,
-                "frac_of_graph_ceiling": frac_of_graph_ceiling,
+                # residual account: isolated cost of the mandatory
+                # non-conv work, and the fraction of it the fused graph
+                # actually pays ((e2e - conv_ceiling)/epilogue_isolated;
+                # <= 1 == the whole gap above conv speed-of-light is
+                # attributed to measured mandatory ops)
+                "epilogue_isolated_ms": epilogue_isolated_ms,
+                "residual_vs_mandatory": residual_vs_mandatory,
                 # the e2e AND the ceiling above are measured at THIS batch in
                 # THIS process — the headline configuration is one (batch,
                 # ceiling, e2e) triple (VERDICT r3 weak #4; batch-1024 rows
