@@ -262,70 +262,103 @@ def preact_epilogue_inventory(depth: int, batch: int):
     return act, add, requant
 
 
+# Per-shape epilogue times, memoized across families within a process
+# (mirrors main()'s shape_times cache for convs): ResNet-20 and -56 share
+# the same act/stream shapes and differ only in counts, so re-measuring
+# for the second family buys nothing and — observed on the real chip —
+# can difference into tunnel noise (a later-process run priced the whole
+# ResNet-56 stream at 0.0 ms while the same shapes measured 1.0 ms for
+# ResNet-20 minutes earlier). One measurement per (kind, shape, params)
+# keeps each process self-consistent: family totals differ only by the
+# topology-derived counts.
+_EPI_CACHE: dict = {}
+
+
+def _epi_memo(key, fn):
+    if key not in _EPI_CACHE:
+        _EPI_CACHE[key] = fn()
+    return _EPI_CACHE[key]
+
+
 def measure_act_site(shape, act_bits: int, impl: str, n1=8, n2=40) -> float:
     """Seconds per act-quant site (f32 conv epilogue -> int8 codes) at this
-    shape, elementwise-coupled chain minus the coupling traversal."""
+    shape, elementwise-coupled chain minus the coupling traversal.
+    Memoized per (shape, bits, impl, chain) within the process."""
     from alignq_tpu.kernels.infer import _erfq_codes
 
-    x0 = jnp.asarray(np.random.RandomState(0).randn(*shape), jnp.float32)
+    def _measure():
+        x0 = jnp.asarray(np.random.RandomState(0).randn(*shape), jnp.float32)
 
-    def step(h):
-        c = _erfq_codes(h, act_bits, impl)
-        return h + c.astype(jnp.float32) * 1e-6
+        def step(h):
+            c = _erfq_codes(h, act_bits, impl)
+            return h + c.astype(jnp.float32) * 1e-6
 
-    def null(h):
-        return h + h * 1e-6
+        def null(h):
+            return h + h * 1e-6
 
-    t = measure(None, step, x0, n1=n1, n2=n2, quiet=True)
-    t0 = measure(None, null, x0, n1=n1, n2=n2, quiet=True)
-    return max(t - t0, 0.0)
+        t = measure(None, step, x0, n1=n1, n2=n2, quiet=True)
+        t0 = measure(None, null, x0, n1=n1, n2=n2, quiet=True)
+        return max(t - t0, 0.0)
+
+    return _epi_memo(("act", tuple(shape), act_bits, impl, n1, n2), _measure)
 
 
 def measure_stream_op(shape, n1=8, n2=40) -> float:
     """Seconds for one residual-stream step (requant + add + relu on int16
-    codes) at this shape — the m=4 even-m requant (the tie-bearing case)."""
+    codes) at this shape — the m=4 even-m requant (the tie-bearing case).
+    Memoized per (shape, chain) within the process."""
     from alignq_tpu.kernels.infer import _requant_codes
 
-    k0 = jnp.asarray(
-        np.random.RandomState(0).randint(0, 200, shape), jnp.int16
-    )
+    def _measure():
+        k0 = jnp.asarray(
+            np.random.RandomState(0).randint(0, 200, shape), jnp.int16
+        )
 
-    def step(k):
-        r = _requant_codes(k, 4, 127.0)
-        out = jnp.maximum(k + r.astype(jnp.int16), 0)
-        return out & 255  # bounded feedback
+        def step(k):
+            r = _requant_codes(k, 4, 127.0)
+            out = jnp.maximum(k + r.astype(jnp.int16), 0)
+            return out & 255  # bounded feedback
 
-    def null(k):
-        return (k + 1) & 255
+        def null(k):
+            return (k + 1) & 255
 
-    t = measure(None, step, k0, n1=n1, n2=n2, quiet=True)
-    t0 = measure(None, null, k0, n1=n1, n2=n2, quiet=True)
-    return max(t - t0, 0.0)
+        t = measure(None, step, k0, n1=n1, n2=n2, quiet=True)
+        t0 = measure(None, null, k0, n1=n1, n2=n2, quiet=True)
+        return max(t - t0, 0.0)
+
+    return _epi_memo(("stream", tuple(shape), n1, n2), _measure)
 
 
 def measure_head(batch: int, channels: int = 64, classes: int = 10,
                  n1=8, n2=40) -> float:
-    """Seconds for the head (spatial mean + f32 matmul) at (batch, 8, 8, C)."""
-    k0 = jnp.asarray(
-        np.random.RandomState(0).randint(0, 200, (batch, 8, 8, channels)),
-        jnp.int16,
-    )
-    w = jnp.asarray(np.random.RandomState(1).randn(channels, classes) * 0.1,
-                    jnp.float32)
+    """Seconds for the head (spatial mean + f32 matmul) at (batch, 8, 8, C).
+    Memoized per (batch, channels, classes, chain) within the process."""
 
-    def step(k):
-        feat = jnp.mean(k.astype(jnp.float32), axis=(1, 2)) * (2.0 / 127.0)
-        logits = feat @ w
-        s = (jnp.sum(logits) * 1e-20).astype(jnp.int16)
-        return k ^ (s & 1)
+    def _measure():
+        k0 = jnp.asarray(
+            np.random.RandomState(0).randint(0, 200, (batch, 8, 8, channels)),
+            jnp.int16,
+        )
+        w = jnp.asarray(
+            np.random.RandomState(1).randn(channels, classes) * 0.1,
+            jnp.float32,
+        )
 
-    def null(k):
-        s = (jnp.sum(k.astype(jnp.int32)) & 1).astype(jnp.int16)
-        return k ^ s
+        def step(k):
+            feat = jnp.mean(k.astype(jnp.float32), axis=(1, 2)) * (2.0 / 127.0)
+            logits = feat @ w
+            s = (jnp.sum(logits) * 1e-20).astype(jnp.int16)
+            return k ^ (s & 1)
 
-    t = measure(None, step, k0, n1=n1, n2=n2, quiet=True)
-    t0 = measure(None, null, k0, n1=n1, n2=n2, quiet=True)
-    return max(t - t0, 0.0)
+        def null(k):
+            s = (jnp.sum(k.astype(jnp.int32)) & 1).astype(jnp.int16)
+            return k ^ s
+
+        t = measure(None, step, k0, n1=n1, n2=n2, quiet=True)
+        t0 = measure(None, null, k0, n1=n1, n2=n2, quiet=True)
+        return max(t - t0, 0.0)
+
+    return _epi_memo(("head", batch, channels, classes, n1, n2), _measure)
 
 
 def preact_graph_ceiling(depth: int, batch: int, conv_ceiling_s: float,
