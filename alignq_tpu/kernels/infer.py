@@ -220,8 +220,9 @@ def _int8_conv_merged_skip(x_int8: jax.Array, q0: QConvInt8, qs: QConvInt8, stri
     return h[..., :c0], h[..., c0:]
 
 
-def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
-    acc = jax.lax.conv_general_dilated(
+def _int8_conv_acc(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
+    """Raw int32 MXU accumulator of one folded conv (no dequant epilogue)."""
+    return jax.lax.conv_general_dilated(
         x_int8,
         q.kernel_int8,
         window_strides=(stride, stride),
@@ -229,7 +230,102 @@ def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
+
+
+def _int8_conv(x_int8: jax.Array, q: QConvInt8, stride: int = 1, padding: int = 1):
+    acc = _int8_conv_acc(x_int8, q, stride, padding)
     return acc.astype(jnp.float32) * q.scale + q.bias
+
+
+def act_int_cutpoints(q: QConvInt8, act_bits: int):
+    """Per-channel INT32 decision cutpoints of the A4/A2 erf act grid,
+    folded through this conv's dequant+BN epilogue (host-side, float64).
+
+    The act site evaluates codes = round(erf(h/sqrt2) * g) on the conv
+    epilogue h = scale_c * A + bias_c (A = int32 MXU accumulator). With the
+    grid's exact real boundaries t_k (quant/cdf.py erf_grid_boundaries) and
+    s = |scale_c|, sgn = sign(scale_c), integer A gives
+
+        code(A) >= k   iff  sgn*A >= ceil(( t_k - bias_c) / s)
+        code(A) <= -k  iff  sgn*A <= floor((-t_k - bias_c) / s)
+
+    so the whole dequant+bn+erf+round epilogue collapses to g integer
+    compare+add pairs on the accumulator — no f32 affine, no
+    transcendental, and no rounding-boundary tie hazard at all (the
+    VERDICT-r4 'integer-domain requant' candidate; the f32 'bins' path can
+    flip a code when the f32 evaluation of h lands within ~1 ulp of a
+    boundary — here the boundary IS an exact integer). float64 is exact for
+    this fold: |cutpoint| is clamped into int32 and f64 holds integers to
+    2^53. Degenerate scale_c == 0 channels (h constant at bias_c) emit
+    their constant code via always/never sentinel cutpoints. Call OUTSIDE
+    jit (host numpy); practical for the A4/A2 grids like 'bins'."""
+    import numpy as np
+
+    from alignq_tpu.quant.cdf import erf_grid_boundaries
+
+    g = int(_act_g(act_bits))
+    assert g <= 15, "bins_int is for the A4/A2 grids (A8 g=127: use poly)"
+    s = np.asarray(q.scale, np.float64)
+    b = np.asarray(q.bias, np.float64)
+    sgn = np.where(s >= 0, 1, -1).astype(np.int32)
+    mag = np.abs(s)
+    big = np.int64(2**31 - 2)  # sentinel: beyond any reachable accumulator
+    t1 = np.empty((g, s.size), np.int64)
+    t2 = np.empty((g, s.size), np.int64)
+    # the SAME f32-rounded boundaries the 'bins' impl compares against
+    # (exact as f64), so both impls realize one grid
+    boundaries = [float(tk) for tk in erf_grid_boundaries(g)]
+    nz = mag > 0
+    safe = np.where(nz, mag, 1.0)
+    for k, tk in enumerate(boundaries):
+        t1[k] = np.where(
+            nz,
+            np.clip(np.ceil((tk - b) / safe), -big, big),
+            np.where(b >= tk, -big, big),  # constant h: always/never >= t_k
+        ).astype(np.int64)
+        t2[k] = np.where(
+            nz,
+            np.clip(np.floor((-tk - b) / safe), -big, big),
+            np.where(b <= -tk, big, -big),  # always/never <= -t_k
+        ).astype(np.int64)
+    return {
+        "sgn": jnp.asarray(sgn),
+        "t1": jnp.asarray(t1.astype(np.int32)),
+        "t2": jnp.asarray(t2.astype(np.int32)),
+    }
+
+
+def _int_bin_codes(acc: jax.Array, cut) -> jax.Array:
+    """Act codes from the raw int32 accumulator by integer compare chains
+    against per-channel cutpoints (see act_int_cutpoints). Elementwise —
+    XLA fuses it into the conv like the other act impls."""
+    a = acc * cut["sgn"]  # fold negative BN scales into the comparand
+    codes = jnp.zeros(acc.shape, jnp.int8)
+    for k in range(cut["t1"].shape[0]):
+        codes = (
+            codes
+            + (a >= cut["t1"][k]).astype(jnp.int8)
+            - (a <= cut["t2"][k]).astype(jnp.int8)
+        )
+    return codes
+
+
+def augment_int_cutpoints(qparams: Dict[str, Any], act_bits: int) -> Dict[str, Any]:
+    """Host-side pass adding integer act cutpoints ('*_cut' entries) to a
+    convert_preact_resnet qparams tree, enabling
+    resnet20_int8_forward(act_impl='bins_int'). A4/A2 only."""
+    out = dict(qparams)
+    out["conv0_cut"] = act_int_cutpoints(qparams["conv0"], act_bits)
+    layers = []
+    for blk in qparams["layers"]:
+        nb = dict(blk)
+        nb["cut0"] = act_int_cutpoints(blk["conv0"], act_bits)
+        nb["cut1"] = act_int_cutpoints(blk["conv1"], act_bits)
+        if "skip" in blk:
+            nb["cut_skip"] = act_int_cutpoints(blk["skip"], act_bits)
+        layers.append(nb)
+    out["layers"] = layers
+    return out
 
 
 def convert_preact_resnet(
@@ -321,7 +417,12 @@ def resnet20_int8_forward(
     bit-identical option.
     act_impl selects the act-site CDF evaluation ('erf' reference-exact,
     'poly' TPU fast grid — see _erfq_codes; pair with the same cdf_impl in
-    QAT).
+    QAT). 'bins'/'bins_int' (A4/A2 only) realize the exact erf grid by
+    boundary comparison — 'bins' on the f32 epilogue, 'bins_int' directly
+    on the int32 accumulator via per-channel integer cutpoints
+    (act_int_cutpoints folds dequant+bn+erf-boundaries; requires
+    augment_int_cutpoints(qparams, act_bits) outside jit; no f32 act
+    epilogue and no boundary-tie hazard).
     stream='int8' stores the inter-block residual stream as the
     requantized block-input codes themselves (int8, half the HBM bytes of
     the exact int16 stream): the requant moves from the next block's input
@@ -349,13 +450,37 @@ def resnet20_int8_forward(
     where values are generic reals and ties have measure zero."""
     g = _act_g(act_bits)
     act_scale = ACT_RANGE / g
+    bins_int = act_impl == "bins_int"
+    if bins_int:
+        # integer-domain act sites: codes straight off the int32
+        # accumulator via per-channel cutpoints (act_int_cutpoints) — no
+        # f32 dequant affine at act sites at all
+        assert "conv0_cut" in qparams, (
+            "act_impl='bins_int' needs augment_int_cutpoints(qparams, "
+            "act_bits) applied outside jit"
+        )
+        assert not (use_pallas_1x1 or fuse_skip or use_stage_kernel), (
+            "bins_int pairs with the default XLA conv path"
+        )
+
+    def _site_codes(x8_in, q, cut, stride_, pad_):
+        """One act site: conv -> codes, f32-epilogue or integer-cutpoint."""
+        if bins_int:
+            return _int_bin_codes(_int8_conv_acc(x8_in, q, stride_, pad_), cut)
+        return _erfq_codes(_int8_conv(x8_in, q, stride_, pad_), act_bits, act_impl)
+
     # per-block bound multipliers from the STATIC block structure (NOT from
     # the qparams leaf "m": a pytree leaf is traced under jit, and integer
     # division by a traced scalar is per-element software division — 25x)
     ms = residual_multipliers(["skip" in blk for blk in qparams["layers"]])
     # stem: conv0 -> bn -> act_q0 -> relu (resnet.py:147-151)
-    h = _int8_conv(_linear_q(x, S_IMG), qparams["conv0"], 1, 1)
-    out_c = jnp.maximum(_erfq_codes(h, act_bits, act_impl).astype(jnp.int16), 0)
+    out_c = jnp.maximum(
+        _site_codes(
+            _linear_q(x, S_IMG), qparams["conv0"],
+            qparams.get("conv0_cut"), 1, 1,
+        ).astype(jnp.int16),
+        0,
+    )
 
     assert stream in ("int16", "int8"), stream
     if stream == "int8":
@@ -405,24 +530,29 @@ def resnet20_int8_forward(
             # shortcut = act_skip_q(skip_bn(skip_conv(x))) — no relu
             if use_pallas_1x1:
                 sc_h = _int8_conv_1x1_pallas(x8, blk["skip"], stride)
+                sc_c = _erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16)
                 h0 = _int8_conv(x8, blk["conv0"], stride, 1)
+                a0 = _erfq_codes(h0, act_bits, act_impl)
             elif fuse_skip:
                 h0, sc_h = _int8_conv_merged_skip(x8, blk["conv0"], blk["skip"], stride)
+                sc_c = _erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16)
+                a0 = _erfq_codes(h0, act_bits, act_impl)
             else:
-                sc_h = _int8_conv(x8, blk["skip"], stride, 0)
-                h0 = _int8_conv(x8, blk["conv0"], stride, 1)
-            sc_c = _erfq_codes(sc_h, act_bits, act_impl).astype(jnp.int16)
+                sc_c = _site_codes(
+                    x8, blk["skip"], blk.get("cut_skip"), stride, 0
+                ).astype(jnp.int16)
+                a0 = _site_codes(x8, blk["conv0"], blk.get("cut0"), stride, 1)
         else:
             # int16 stream: full-resolution code sum; int8 stream: the
             # requantized codes scaled back to grid-1 units (m * c8)
             sc_c = (
                 m * c8.astype(jnp.int16) if stream == "int8" else out_c
             )
-            h0 = _int8_conv(x8, blk["conv0"], stride, 1)
-        a0 = _erfq_codes(h0, act_bits, act_impl)  # act_q0
+            a0 = _site_codes(x8, blk["conv0"], blk.get("cut0"), stride, 1)
         r0 = jnp.maximum(a0, 0)  # relu on codes == relu on values (sign-preserving grid)
-        h1 = _int8_conv(r0.astype(jnp.int8), blk["conv1"], 1, 1)
-        a1_c = _erfq_codes(h1, act_bits, act_impl).astype(jnp.int16)  # act_q1
+        a1_c = _site_codes(
+            r0.astype(jnp.int8), blk["conv1"], blk.get("cut1"), 1, 1
+        ).astype(jnp.int16)  # act_q1
         out_c = jnp.maximum(a1_c + sc_c, 0)  # residual add + relu, in codes
         if stream == "int8" and i + 1 < len(layers):
             # requant the WHOLE stream (shortcut included) onto the next

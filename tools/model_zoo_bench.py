@@ -105,12 +105,33 @@ def bench_resnet20_w4a4(results, batch=2048):
         functools.partial(resnet20_int8_forward, act_bits=4, act_impl="bins"),
         qp, x, results,
     )
+    # bins_int (round 5): the same A4 erf grid with the act sites run
+    # entirely in the integer domain — per-channel int32 cutpoints on the
+    # raw accumulator (infer.py act_int_cutpoints), no f32 act epilogue
+    from alignq_tpu.kernels.infer import augment_int_cutpoints
+
+    qpi = augment_int_cutpoints(qp, 4)
+    _measure_forward(
+        f"resnet20_w4a4_bins_int_b{batch}",
+        functools.partial(
+            resnet20_int8_forward, act_bits=4, act_impl="bins_int"
+        ),
+        qpi, x, results,
+    )
     _measure_forward(
         f"resnet20_w4a4_fast_b{batch}",
         functools.partial(
             resnet20_int8_forward, act_bits=4, act_impl="bins", stream="int8"
         ),
         qp, x, results,
+    )
+    _measure_forward(
+        f"resnet20_w4a4_bins_int_stream8_b{batch}",
+        functools.partial(
+            resnet20_int8_forward, act_bits=4, act_impl="bins_int",
+            stream="int8",
+        ),
+        qpi, x, results,
     )
     packed = pack_qparams_int4(qp)
     _measure_forward(
