@@ -43,7 +43,7 @@ def forward_kwargs_from_meta(meta: Dict[str, Any]) -> Dict[str, Any]:
         out["act_bits"] = int(meta["act_bits"])
     if "act_impl" in meta:
         impl = str(np.asarray(meta["act_impl"]))
-        assert impl in ("erf", "poly", "bins"), impl
+        assert impl in ("erf", "poly", "bins", "bins_int"), impl
         out["act_impl"] = impl
     if "stream" in meta:
         s = str(np.asarray(meta["stream"]))

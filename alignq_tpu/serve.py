@@ -242,6 +242,16 @@ def engine_from_artifact(
         ) else {}
         base_fwd = functools.partial(packed_int4_forward, fwd_for_pack, **pack_kw)
     qparams, _meta = load_int8_artifact(path, template)
+    if str(np.asarray(meta0.get("act_impl", ""))) == "bins_int":
+        # cutpoints derive from the loaded scale/bias — re-derived here so
+        # the on-disk schema stays family-uniform (export saves unaugmented)
+        if packed:
+            raise ValueError("bins_int + packed_int4 serving not supported")
+        from alignq_tpu.kernels.infer import augment_int_cutpoints
+
+        qparams = augment_int_cutpoints(
+            qparams, int(np.asarray(meta0.get("act_bits", 4)))
+        )
     return BatchedInferenceEngine(
         base_fwd, qparams, batch_size, family.input_shape(meta0), mesh=mesh
     )

@@ -97,6 +97,52 @@ class TestServing:
         )
         np.testing.assert_array_equal(out, ref)
 
+    def test_engine_from_bins_int_artifact(self, tmp_path):
+        """A bins_int W4A4 artifact serves bit-identically to the jitted
+        integer-cutpoint graph. The artifact stores the family-uniform
+        (unaugmented) tree; engine_from_artifact re-derives the cutpoints
+        from the loaded scale/bias (serve.py)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from alignq_tpu.kernels.artifact import save_int8_artifact
+        from alignq_tpu.kernels.infer import (
+            augment_int_cutpoints,
+            convert_resnet20,
+            resnet20_int8_forward,
+        )
+        from alignq_tpu.serve import engine_from_artifact
+
+        model = resnet20_quant(bitW=4, abitW=4, method="ours", variant="int8")
+        x = jax.numpy.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(9), x, train=False)
+        qp = convert_resnet20(
+            variables["params"], variables["batch_stats"],
+            weight_bits=4, act_bits=4,
+        )
+        path = str(tmp_path / "model_w4_binsint.npz")
+        save_int8_artifact(path, qp, meta={
+            "model": "resnet20", "act_bits": 4, "weight_bits": 4,
+            "act_impl": "bins_int", "stream": "int16",
+        })
+        engine = engine_from_artifact(path, batch_size=4)
+        try:
+            img = np.random.RandomState(11).randn(4, 32, 32, 3).astype(
+                np.float32
+            )
+            out = engine.submit(img).result(timeout=120)
+        finally:
+            engine.close()
+        ref = np.asarray(
+            jax.jit(
+                functools.partial(
+                    resnet20_int8_forward, act_bits=4, act_impl="bins_int"
+                )
+            )(augment_int_cutpoints(qp, 4), jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)
+
     def test_engine_from_artifact_unknown_family(self, tmp_path):
         from alignq_tpu.kernels.artifact import save_int8_artifact
         from alignq_tpu.serve import engine_from_artifact

@@ -51,7 +51,8 @@ def main():
              "grid; the pairing is what keeps train==deploy exact)",
     )
     p.add_argument(
-        "--deploy_act_impl", choices=("same", "erf", "poly", "bins"),
+        "--deploy_act_impl",
+        choices=("same", "erf", "poly", "bins", "bins_int"),
         default="same",
         help="act-site impl in the INT graph only (default: follow "
              "--cdf_impl). 'bins' (bits<=4) evaluates the exact erf grid by "
@@ -196,9 +197,19 @@ def main():
     import functools
 
     deploy_impl = a.cdf_impl if a.deploy_act_impl == "same" else a.deploy_act_impl
-    if deploy_impl == "bins":
+    if deploy_impl in ("bins", "bins_int"):
         if a.cdf_impl != "erf" or a.bits > 4:
-            p.error("--deploy_act_impl bins pairs with --cdf_impl erf, bits<=4")
+            p.error(
+                "--deploy_act_impl bins/bins_int pairs with --cdf_impl erf,"
+                " bits<=4"
+            )
+        if deploy_impl == "bins_int":
+            if a.model not in ("resnet20", "resnet56"):
+                p.error("--deploy_act_impl bins_int is wired for the "
+                        "PreAct ResNets")
+            if a.pack_int4:
+                p.error("bins_int + --pack_int4 is not supported (serve "
+                        "augments unpacked trees)")
     elif deploy_impl != a.cdf_impl:
         p.error("poly/erf deploy must match the QAT grid (--cdf_impl)")
     int_kw = {"act_bits": a.bits, "act_impl": deploy_impl}
@@ -213,6 +224,14 @@ def main():
     elif a.stage_kernel:
         p.error("--stage_kernel deploy is wired for resnet20")
     int8_fwd = jax.jit(functools.partial(int_forward, **int_kw))
+    # bins_int runs on cutpoint-augmented qparams; the ARTIFACT stays
+    # unaugmented (cutpoints derive from scale/bias — serve.py re-derives
+    # them at load, keeping the on-disk schema family-uniform)
+    eval_qp = qparams
+    if deploy_impl == "bins_int":
+        from alignq_tpu.kernels.infer import augment_int_cutpoints
+
+        eval_qp = augment_int_cutpoints(qparams, a.bits)
 
     correct = total = 0
     agree = 0
@@ -221,7 +240,7 @@ def main():
     for xb, yb in data.loader_test:
         x = jnp.asarray(xb)
         y = np.asarray(yb)
-        pred_i8 = np.argmax(np.asarray(int8_fwd(qparams, x)), -1)
+        pred_i8 = np.argmax(np.asarray(int8_fwd(eval_qp, x)), -1)
         logits_fq = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False,
